@@ -1,0 +1,105 @@
+"""Scene description: geometry pytree + static render configuration.
+
+The reference folds geometry, RNG state and render knobs into a stateful
+``HelioField`` object (``newenv_rl_test_multi_error.py:154-216``). Here the
+same information splits cleanly along JAX lines:
+
+  * :class:`Scene`        — arrays (heliostat/target geometry, plane basis):
+                            a pytree that flows through jit/vmap/shard_map;
+  * :class:`FieldConfig`  — hashable static config (resolution, sigma scale,
+                            error scale, …): a ``jit`` static argument, so
+                            each distinct config compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+__all__ = ["Scene", "FieldConfig", "make_scene"]
+
+
+@struct.dataclass
+class Scene:
+    """Field geometry as a pytree of arrays.
+
+    Attributes:
+      heliostat_pos: ``[N, 3]`` heliostat positions (ENU frame, z up).
+      target_pos:    ``[3]`` receiver-plane center.
+      target_normal: ``[3]`` unit receiver-plane normal.
+      plane_u:       ``[3]`` receiver-grid "east" axis (unit, ⟂ plane_v).
+      plane_v:       ``[3]`` receiver-grid "up" axis (unit).
+    """
+
+    heliostat_pos: jax.Array
+    target_pos: jax.Array
+    target_normal: jax.Array
+    plane_u: jax.Array
+    plane_v: jax.Array
+
+    @property
+    def num_heliostats(self) -> int:
+        return self.heliostat_pos.shape[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldConfig:
+    """Static (hashable) render configuration.
+
+    Mirrors the reference ``HelioField.__init__`` knobs
+    (``newenv_rl_test_multi_error.py:162-198``). ``target_width/height`` are
+    static because they define the receiver-grid linspace shape inside the
+    splat kernel.
+    """
+
+    resolution: int = 100
+    sigma_scale: float = 0.01
+    error_scale_mrad: float = 1.0
+    initial_action_noise: float = 0.01
+    target_width: float = 15.0
+    target_height: float = 15.0
+    max_batch_size: int = 25
+    # MXU precision for the splat contraction: "highest" = full-f32 MXU
+    # passes (reference-grade parity), "default" = fast reduced-precision
+    # (training-run perf knob).
+    precision: str = "highest"
+
+
+def make_scene(
+    heliostat_pos,
+    target_pos,
+    target_normal,
+    dtype=jnp.float32,
+) -> Scene:
+    """Build a :class:`Scene`, normalizing the target normal and deriving the
+    receiver-plane basis.
+
+    Basis rule (matches ``newenv_rl_test_multi_error.py:206-213``):
+    ``plane_u = [1, 0, 0]``; ``plane_v = [0, 0, 1]`` when the target normal
+    is (numerically) ``[0, 1, 0]``, else ``normalize(target_normal × plane_u)``.
+    In both cases {u, v} is orthonormal (v ∝ n × u ⟂ u), which is what makes
+    the separable splat factorization in ``ops/splat.py`` exact.
+    """
+    heliostat_pos = jnp.asarray(heliostat_pos, dtype=dtype)
+    target_pos = jnp.asarray(target_pos, dtype=dtype)
+    n = np.asarray(target_normal, dtype=np.float64)
+    n = n / max(np.linalg.norm(n), 1e-9)
+
+    u = np.array([1.0, 0.0, 0.0])
+    if np.allclose(n, [0.0, 1.0, 0.0]):
+        v = np.array([0.0, 0.0, 1.0])
+    else:
+        v = np.cross(n, u)
+        v = v / max(np.linalg.norm(v), 1e-9)
+
+    return Scene(
+        heliostat_pos=heliostat_pos,
+        target_pos=target_pos,
+        target_normal=jnp.asarray(n, dtype=dtype),
+        plane_u=jnp.asarray(u, dtype=dtype),
+        plane_v=jnp.asarray(v, dtype=dtype),
+    )
