@@ -1,0 +1,10 @@
+"""Gym-style heliostat flux environment: losses, sun sampling, reset/step."""
+
+from .sun import (  # noqa: F401
+    SUN_RADIUS,
+    azel_to_direction,
+    sample_cone_directions,
+    sample_sun_positions,
+)
+from .losses import angles_mrad, alignment_loss_cheap, boundary, flux_metrics  # noqa: F401
+from .env import EnvConfig, EnvState, HelioEnv, init_state, reset, set_sun_pos, step  # noqa: F401

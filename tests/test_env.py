@@ -1,0 +1,231 @@
+"""Parity tests: environment losses + step vs. reference goldens."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from doodle_tpu.core import make_scene
+from doodle_tpu.env import (
+    EnvConfig,
+    EnvState,
+    HelioEnv,
+    angles_mrad,
+    boundary,
+    init_state,
+    reset,
+    step,
+)
+from doodle_tpu.ops import distance_maps, edt, ideal_normals
+
+
+def _env_setup(g, **cfg_kw):
+    scene = make_scene(g["helio"], g["targ_pos"], g["targ_norm"])
+    cfg = EnvConfig(
+        resolution=int(g["resolution"]),
+        batch_size=int(g["sun"].shape[0]),
+        sigma_scale=float(g["sigma_scale"]),
+        error_scale_mrad=float(g["error_scale"]),
+        target_width=float(g["targ_area"][0]),
+        target_height=float(g["targ_area"][1]),
+        **cfg_kw,
+    )
+    return scene, cfg
+
+
+def _golden_state(scene, cfg, g):
+    """EnvState with the golden's sun/errors/distance-maps injected, so the
+    comparison is RNG-free (the reference's injected-error sanity idiom)."""
+    sun = jnp.asarray(g["sun"])
+    ideal = ideal_normals(scene.heliostat_pos, scene.target_pos, sun)
+    from doodle_tpu.core import render
+
+    zero_err = jnp.zeros((sun.shape[0], scene.num_heliostats, 2), jnp.float32)
+    target_img, _, _ = render(scene, cfg.field_config(0.0), sun, ideal, zero_err)
+    return EnvState(
+        sun_pos=sun,
+        errors=jnp.asarray(g["errors_b"]),
+        ideal_normals=ideal,
+        target_img=target_img,
+        distance_maps=jnp.asarray(g["distance_maps"]),
+        ref_min=jnp.asarray(g["ref_min"]),
+        ref_max=jnp.asarray(g["ref_max"]),
+    )
+
+
+def test_edt_matches_scipy(goldens):
+    g = goldens["env_step"]
+    out = distance_maps(jnp.asarray(g["step_dmaps_in"]))
+    np.testing.assert_allclose(np.asarray(out), g["step_dmaps_out"], atol=1e-4)
+
+
+def test_edt_simple_case():
+    mask = np.zeros((5, 7), bool)
+    mask[2, 3] = True
+    d = np.asarray(edt(jnp.asarray(mask)))
+    ii, jj = np.mgrid[0:5, 0:7]
+    expected = np.sqrt((ii - 2) ** 2 + (jj - 3) ** 2)
+    np.testing.assert_allclose(d, expected, atol=1e-5)
+
+
+def test_boundary_matches_reference(goldens):
+    g = goldens["env_step"]
+    east = jnp.array([1.0, 0.0, 0.0])
+    up = jnp.array([0.0, 0.0, 1.0])
+    args = (
+        jnp.asarray(g["action"]),
+        jnp.asarray(g["helio"]),
+        jnp.asarray(g["targ_pos"]),
+        jnp.asarray(g["targ_norm"]),
+        (float(g["targ_area"][0]), float(g["targ_area"][1])),
+        east,
+        up,
+    )
+    np.testing.assert_allclose(
+        np.asarray(boundary(*args)), g["bound_mean"], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(boundary(*args, return_all=True)), g["bound_all"], atol=1e-5
+    )
+
+
+def test_angles_mrad_matches_reference(goldens):
+    g = goldens["env_step"]
+    scene = make_scene(g["helio"], g["targ_pos"], g["targ_norm"])
+    ideal = ideal_normals(
+        scene.heliostat_pos, scene.target_pos, jnp.asarray(g["sun"])
+    )
+    out = angles_mrad(ideal, jnp.asarray(g["action"]))
+    np.testing.assert_allclose(np.asarray(out), g["angles"], atol=5e-2)
+
+
+def test_angle_laws():
+    v = jnp.array([[1.0, 0.0, 0.0]])
+    np.testing.assert_allclose(float(angles_mrad(v, v)[0]), 0.0, atol=0.5)
+    w = jnp.array([[0.0, 1.0, 0.0]])
+    np.testing.assert_allclose(
+        float(angles_mrad(v, w)[0]), np.pi / 2 * 1000, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(angles_mrad(v, -v)[0]), np.pi * 1000, rtol=1e-3
+    )
+    assert float(angles_mrad(v, w)[0]) >= 0
+
+
+def test_step_metrics_match_reference(goldens):
+    g = goldens["env_step"]
+    scene, cfg = _env_setup(g)
+    state = _golden_state(scene, cfg, g)
+    obs, metrics, monitor = step(
+        scene, cfg, state, jnp.asarray(g["action"]).reshape(cfg.batch_size, -1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(obs["img"]), g["obs_img"], atol=2e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(obs["aux"]), g["obs_aux"], atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(float(metrics["mse"]), g["mse"], rtol=2e-4)
+    np.testing.assert_allclose(float(metrics["dist"]), g["dist"], rtol=2e-4)
+    np.testing.assert_allclose(float(metrics["bound"]), g["bound"], atol=1e-6)
+    np.testing.assert_allclose(
+        float(metrics["alignment_loss"]), g["alignment"], rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(monitor["mae_image"]), g["monitor_mae"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(monitor["all_bounds"]), g["monitor_bounds"], atol=1e-5
+    )
+
+
+def test_step_masked_and_exponential_variants(goldens):
+    g = goldens["env_step"]
+    scene, cfg = _env_setup(g, use_error_mask=True, exponential_risk=True)
+    state = _golden_state(scene, cfg, g)
+    _, metrics, _ = step(
+        scene, cfg, state, jnp.asarray(g["action"]).reshape(cfg.batch_size, -1)
+    )
+    np.testing.assert_allclose(float(metrics["mse"]), g["mse_masked"], rtol=2e-4)
+    np.testing.assert_allclose(float(metrics["dist"]), g["dist_masked"], rtol=2e-4)
+    np.testing.assert_allclose(float(metrics["bound"]), g["bound_exp"], rtol=1e-5)
+
+
+def test_env_distance_maps_robust_to_init_noise(goldens):
+    """The distance maps come from a 0.01-noise init-action render; the
+    binary mask at 50% of max should be (nearly) invariant to that noise, so
+    our maps should match the reference's despite different RNG streams."""
+    g = goldens["env_step"]
+    scene, cfg = _env_setup(g)
+    state = init_state(scene, cfg, jax.random.PRNGKey(0))
+    state = __import__(
+        "doodle_tpu.env.env", fromlist=["set_sun_pos"]
+    ).set_sun_pos(scene, cfg, state, jnp.asarray(g["sun"]), jax.random.PRNGKey(1))
+    mismatch = np.abs(np.asarray(state.distance_maps) - g["distance_maps"])
+    # allow a tiny fraction of boundary pixels to flip
+    assert (mismatch > 0.5).mean() < 0.02
+
+
+def test_env_wrapper_end_to_end():
+    rng = np.random.default_rng(0)
+    helio = (rng.random((6, 3)) * 10 + 80).astype(np.float32)
+    helio[:, 2] = 0
+    scene = make_scene(helio, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+    cfg = EnvConfig(resolution=32, batch_size=4, error_scale_mrad=120.0)
+    env = HelioEnv(scene, cfg, jax.random.PRNGKey(0), validate=True)
+    obs = env.reset()
+    assert obs["img"].shape == (4, 32, 32)
+    assert obs["aux"].shape == (4, 3 + 6 * 3)
+    action = np.asarray(env.ideal_normals).reshape(4, -1)
+    obs2, metrics, monitor = env.step(action)
+    for k in ("mse", "dist", "bound", "alignment_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    assert monitor["reflected_rays"].shape == (24, 3)
+    # errors resample across resets by default
+    e1 = np.asarray(env.state.errors)
+    env.reset()
+    e2 = np.asarray(env.state.errors)
+    assert np.abs(e1 - e2).max() > 1e-3
+
+
+def test_env_reset_determinism():
+    rng = np.random.default_rng(0)
+    helio = (rng.random((5, 3)) * 10 + 80).astype(np.float32)
+    helio[:, 2] = 0
+    scene = make_scene(helio, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+    cfg = EnvConfig(resolution=16, batch_size=3)
+    s1 = init_state(scene, cfg, jax.random.PRNGKey(7))
+    s2 = init_state(scene, cfg, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(s1.sun_pos), np.asarray(s2.sun_pos))
+    np.testing.assert_array_equal(np.asarray(s1.errors), np.asarray(s2.errors))
+    _, o1 = reset(scene, cfg, s1, jax.random.PRNGKey(9))
+    _, o2 = reset(scene, cfg, s2, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(o1["img"]), np.asarray(o2["img"]))
+
+
+def test_step_gradient_flows_to_action(goldens):
+    g = goldens["env_step"]
+    scene, cfg = _env_setup(g)
+    state = _golden_state(scene, cfg, g)
+
+    def loss(a):
+        _, m, _ = step(scene, cfg, state, a)
+        return m["mse"] + 1e-4 * m["dist"] + m["bound"]
+
+    grad = jax.grad(loss)(jnp.asarray(g["action"]).reshape(cfg.batch_size, -1))
+    arr = np.asarray(grad)
+    assert np.isfinite(arr).all() and np.abs(arr).max() > 0
+
+
+def test_new_sun_pos_every_reset_works():
+    """The reference's new_sun_pos_every_reset=True crashes on the missing
+    _sample_sun_pos (test_environment.py:379); ours must work."""
+    rng = np.random.default_rng(1)
+    helio = (rng.random((5, 3)) * 10 + 80).astype(np.float32)
+    helio[:, 2] = 0
+    scene = make_scene(helio, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+    cfg = EnvConfig(resolution=16, batch_size=3, new_sun_pos_every_reset=True)
+    state = init_state(scene, cfg, jax.random.PRNGKey(0))
+    sun_before = np.asarray(state.sun_pos)
+    state2, obs = reset(scene, cfg, state, jax.random.PRNGKey(1))
+    assert np.abs(np.asarray(state2.sun_pos) - sun_before).max() > 1.0
+    assert np.isfinite(np.asarray(obs["img"])).all()
