@@ -1,0 +1,61 @@
+"""Per-frame image encoders.
+
+Two encoder families, mirroring the reference:
+
+* :class:`CNNEncoder` — 3×(Conv5×5 → GELU → channel dropout) with 32/64/128
+  channels, global average pool, projection to ``out_dim``
+  (``train_with_env.py:39-55``). NHWC layout (TPU-friendly: the channel axis
+  lands on the 128-wide lane dimension).
+* :class:`COMEncoder` — differentiable center of mass (2 coords) → Dense →
+  Dropout → GELU (``train_with_env_com_trunc_advantage_ttt.py:42-53``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .com import center_of_mass_2d
+
+__all__ = ["CNNEncoder", "COMEncoder"]
+
+
+class CNNEncoder(nn.Module):
+    """Conv stack → global average pool → Dense → GELU.
+
+    Input ``[B, H, W]`` or ``[B, H, W, C]``; output ``[B, out_dim]``.
+    Channel dropout (the Dropout2d analogue) broadcasts the mask over the
+    spatial axes so whole feature maps are dropped together.
+    """
+
+    out_dim: int = 128
+    dropout: float = 0.1
+    features: tuple[int, ...] = (32, 64, 128)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        if x.ndim == 3:
+            x = x[..., None]
+        for feat in self.features:
+            x = nn.Conv(feat, (5, 5), padding=2)(x)
+            x = nn.gelu(x)
+            x = nn.Dropout(self.dropout, broadcast_dims=(1, 2))(
+                x, deterministic=deterministic
+            )
+        x = jnp.mean(x, axis=(1, 2))                 # AdaptiveAvgPool2d((1,1))
+        return nn.gelu(nn.Dense(self.out_dim)(x))
+
+
+class COMEncoder(nn.Module):
+    """Center-of-mass coordinates → Dense(2 → out_dim) → Dropout → GELU."""
+
+    out_dim: int = 128
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        coords = center_of_mass_2d(x)
+        proj = nn.Dense(self.out_dim)(coords)
+        proj = nn.Dropout(self.dropout)(proj, deterministic=deterministic)
+        return nn.gelu(proj)

@@ -1,0 +1,185 @@
+"""Model-layer tests: CoM math, encoder/policy shapes, carry threading,
+determinism, and gradient flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from doodle_tpu.models import (
+    CNNEncoder,
+    COMEncoder,
+    PolicyNet,
+    center_of_mass_2d,
+    initial_carry,
+)
+
+
+# --------------------------------------------------------------------- CoM
+def test_com_point_mass():
+    img = jnp.zeros((1, 8, 8)).at[0, 2, 5].set(3.0)
+    coords = center_of_mass_2d(img)
+    np.testing.assert_allclose(np.asarray(coords), [[5.0, 2.0]], atol=1e-5)
+
+
+def test_com_uniform_mass_is_center():
+    img = jnp.ones((2, 9, 9))
+    coords = center_of_mass_2d(img)
+    np.testing.assert_allclose(np.asarray(coords), [[4.0, 4.0]] * 2, atol=1e-4)
+
+
+def test_com_zero_mass_sentinel():
+    img = jnp.zeros((3, 4, 4))
+    coords = center_of_mass_2d(img)
+    np.testing.assert_allclose(np.asarray(coords), [[-1.0, -1.0]] * 3)
+
+
+def test_com_accepts_nchw_and_clamps_negatives():
+    img = jnp.zeros((1, 1, 8, 8)).at[0, 0, 1, 1].set(2.0).at[0, 0, 7, 7].set(-5.0)
+    coords = center_of_mass_2d(img)
+    np.testing.assert_allclose(np.asarray(coords), [[1.0, 1.0]], atol=1e-5)
+
+
+def test_com_differentiable():
+    def f(img):
+        return jnp.sum(center_of_mass_2d(img))
+
+    img = jnp.ones((1, 6, 6)).at[0, 3, 3].set(5.0)
+    g = jax.grad(f)(img)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0.0
+
+
+# ---------------------------------------------------------------- Encoders
+@pytest.mark.parametrize("enc_cls", [CNNEncoder, COMEncoder])
+def test_encoder_shapes(enc_cls):
+    enc = enc_cls(out_dim=32)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 16, 16))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    y = enc.apply(params, x)
+    assert y.shape == (4, 32)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_cnn_dropout_stochastic_vs_deterministic():
+    enc = CNNEncoder(out_dim=16, dropout=0.5)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 12, 12))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    det = enc.apply(params, x, deterministic=True)
+    det2 = enc.apply(params, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+    sto = enc.apply(
+        params, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)}
+    )
+    assert not np.allclose(np.asarray(det), np.asarray(sto))
+
+
+# ------------------------------------------------------------------ Policy
+def _make_policy(arch, encoder="cnn", normalize_output=True):
+    return PolicyNet(
+        num_heliostats=5,
+        enc_dim=32,
+        lstm_hid=32,
+        transformer_layers=1,
+        transformer_heads=4,
+        transformer_ff=64,
+        architecture=arch,
+        encoder=encoder,
+        dropout=0.1,
+    )
+
+
+def _init(policy, B=3, T=2, res=16, N=5):
+    img = jax.random.uniform(jax.random.PRNGKey(0), (B, T, res, res))
+    aux = jax.random.normal(jax.random.PRNGKey(1), (B, 3 + N * 3))
+    carry = policy.init_carry(B)
+    params = policy.init(jax.random.PRNGKey(2), img, aux, carry)
+    return params, img, aux, carry
+
+
+@pytest.mark.parametrize("arch", ["mlp", "lstm", "transformer"])
+def test_policy_output_shape_and_unit_norm(arch):
+    policy = _make_policy(arch)
+    params, img, aux, carry = _init(policy)
+    normals, new_carry = policy.apply(params, img, aux, carry)
+    assert normals.shape == (3, 5, 3)
+    norms = np.linalg.norm(np.asarray(normals), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    assert jax.tree.structure(new_carry) == jax.tree.structure(carry)
+
+
+def test_policy_unnormalized_output_for_ttt():
+    policy = PolicyNet(num_heliostats=5, enc_dim=32, architecture="mlp",
+                       normalize_output=False)
+    params, img, aux, carry = _init(policy)
+    normals, _ = policy.apply(params, img, aux, carry)
+    norms = np.linalg.norm(np.asarray(normals), axis=-1)
+    assert not np.allclose(norms, 1.0, atol=1e-3)
+
+
+def test_lstm_carry_changes_output():
+    """Threading the LSTM carry across calls must change the prediction."""
+    policy = _make_policy("lstm")
+    params, img, aux, carry = _init(policy)
+    out1, carry1 = policy.apply(params, img, aux, carry)
+    out2, _ = policy.apply(params, img, aux, carry1)
+    assert not np.allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_transformer_zero_carry_matches_none_semantics():
+    """Zeros initial residual ≡ the reference's hx=None first call; a nonzero
+    carry shifts the features residually."""
+    policy = _make_policy("transformer")
+    params, img, aux, carry = _init(policy)
+    assert carry.shape == (3, 32)
+    np.testing.assert_array_equal(np.asarray(carry), 0.0)
+    out1, carry1 = policy.apply(params, img, aux, carry)
+    out2, carry2 = policy.apply(params, img, aux, carry1)
+    assert not np.allclose(np.asarray(carry1), np.asarray(carry2))
+    assert not np.allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_policy_com_encoder_path():
+    policy = _make_policy("mlp", encoder="com")
+    params, img, aux, carry = _init(policy)
+    normals, _ = policy.apply(params, img, aux, carry)
+    assert normals.shape == (3, 5, 3)
+    assert np.isfinite(np.asarray(normals)).all()
+
+
+def test_policy_gradients_finite_and_nonzero():
+    policy = _make_policy("lstm")
+    params, img, aux, carry = _init(policy)
+
+    def loss_fn(p):
+        normals, _ = policy.apply(p, img, aux, carry)
+        return jnp.sum(normals**2)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_policy_scan_compatible():
+    """The (img, aux, carry) → (action, carry) step must lax.scan cleanly."""
+    policy = _make_policy("lstm")
+    params, img, aux, carry = _init(policy)
+
+    def step(c, _):
+        normals, c = policy.apply(params, img, aux, c)
+        return c, normals
+
+    final_carry, actions = jax.lax.scan(step, carry, None, length=4)
+    assert actions.shape == (4, 3, 5, 3)
+    assert jax.tree.structure(final_carry) == jax.tree.structure(carry)
+
+
+def test_initial_carry_structures():
+    assert initial_carry("mlp", 2) == ()
+    c, h = initial_carry("lstm", 2, lstm_hid=7)
+    assert c.shape == (2, 7) and h.shape == (2, 7)
+    hx = initial_carry("transformer", 2, enc_dim=9)
+    assert hx.shape == (2, 9)
+    with pytest.raises(ValueError):
+        initial_carry("nope", 2)
