@@ -1,0 +1,382 @@
+"""train_and_eval — the standard policy trainer.
+
+Capability parity with the reference trainer (``train_with_env.py:219-498``):
+same geometry recipe, env family, AdamP(+clip) optimization, scheduler
+choices, the alignment-pretrain → boundary-warmup → blended-mse/dist loss
+schedule, NaN bailout, periodic test evaluation, and best-test-MSE return
+for HPO.
+
+TPU-first re-design:
+  * the ``num_batches`` train environments are a *stacked* ``EnvState`` pytree
+    (leading axis = env index) and the per-env rollouts run under ``vmap`` —
+    one compiled program instead of a Python loop of env objects;
+  * the whole optimization step (num_batches rollouts → weighted loss → grad
+    → clip → AdamP) is ONE jitted function; the loss-phase schedule enters as
+    a 4-vector of weights and the LR via ``optax.inject_hyperparams``, so no
+    phase change ever recompiles;
+  * scheduler logic (exp/cyclic/plateau) and the NaN bailout live on the
+    host, exactly where the reference keeps them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.scene import Scene, make_scene
+from ..env import env as env_lib
+from ..models.policy import PolicyNet
+from ..optim import adamp, cyclic_lr
+from .rollout import rollout
+
+__all__ = ["TrainConfig", "train_and_eval", "make_reference_geometry", "PlateauTracker"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Mirror of the reference CLI surface (``train_with_env.py:504-567``)."""
+
+    num_heliostats: int = 50
+    error_scale_mrad: float = 90.0
+    batch_size: int = 25
+    num_batches: int = 1
+    steps: int = 5000
+    T: int = 4
+    k: int = 4
+    lr: float = 2e-4
+    grad_clip: float = 1e-7          # reference default — yes, 1e-7
+    architecture: str = "lstm"
+    encoder: str = "cnn"
+    lstm_hid: int = 128
+    transformer_layers: int = 2
+    transformer_heads: int = 8
+    dropout: float = 0.1
+    use_mean: bool = False
+    scheduler: str = "exp"           # plateau | cyclic | exp | none
+    scheduler_patience: int = 50
+    scheduler_factor: float = 0.27
+    scheduler_mode: str = "triangular2"
+    scheduler_gamma: float = 0.99
+    exp_decay: float = 1.8
+    step_size_up: int = 300
+    step_size_down: int = 1000
+    boundary_thresh: float = 5e-3
+    anti_spill: float = 1.5e4
+    dist_f: float = 1.0e4
+    mse_f: float = 1.0
+    alignment_f: float = 100.0
+    new_errors_every_reset: bool = False
+    new_sun_pos_every_reset: bool = False
+    warmup_steps: int = 40
+    alignment_pretrain_steps: int = 100
+    seed: int = 42
+    use_error_mask: bool = False
+    error_mask_ratio: float = 0.2
+    resolution: int = 128
+    sigma_scale: float = 0.01        # trainer passes 0.01 (ref :241)
+    azimuth: float | None = 45.0
+    elevation: float | None = 45.0
+    test_size: int = 60
+    eval_every: int = 100
+    log_every: int = 25
+    weight_decay: float = 1e-5
+    # Reference quirk (behavior, not bug): the loss schedule is frozen to
+    # "alignment always" by an `if True:` (train_with_env.py:346-356).
+    # True reproduces the frozen behavior; False enables the documented
+    # pretrain→warmup→blend schedule.
+    alignment_always: bool = False
+    precision: str = "default"
+
+
+class PlateauTracker:
+    """Host-side ReduceLROnPlateau ('min' mode), matching torch semantics:
+    multiply LR by ``factor`` after ``patience`` non-improving steps."""
+
+    def __init__(self, lr: float, patience: int, factor: float) -> None:
+        self.lr = lr
+        self.patience = patience
+        self.factor = factor
+        self.best = math.inf
+        self.bad = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad = 0
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.lr *= self.factor
+                self.bad = 0
+        return self.lr
+
+
+def make_reference_geometry(
+    num_heliostats: int, key: jax.Array
+) -> Scene:
+    """The trainer's geometry recipe (``train_with_env.py:227-230``):
+    heliostats uniform in [80, 90)² on the ground plane (z=0), receiver at
+    (0, −5, 0) facing +Y, 15×15 m."""
+    pos = jax.random.uniform(key, (num_heliostats, 3)) * 10.0 + 80.0
+    pos = pos.at[:, 2].set(0.0)
+    return make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+
+
+def _loss_weights(cfg: TrainConfig, global_i: int, last_bound: float) -> np.ndarray:
+    """Host-side loss-phase schedule → (w_align, w_bound, w_mse, w_dist).
+
+    Phases (ref ``train_with_env.py:331-368``): alignment pretrain for
+    ``alignment_pretrain_steps`` micro-steps, boundary-only during warmup or
+    while the boundary loss exceeds ``boundary_thresh``, then
+    mse·(1−decay) + dist·decay with decay falling linearly to 1e-5 over 80%
+    of the active steps.
+    """
+    pre = cfg.alignment_pretrain_steps
+    warm = cfg.warmup_steps
+    if cfg.alignment_always or global_i < pre:
+        return np.array([cfg.alignment_f, 0.0, 0.0, 0.0], np.float32)
+    if global_i < pre + warm or last_bound > cfg.boundary_thresh:
+        return np.array([0.0, cfg.anti_spill, 0.0, 0.0], np.float32)
+    active = max(1, cfg.steps - cfg.warmup_steps)
+    cutoff = int(0.8 * active)
+    eff = global_i // max(1, cfg.num_batches) - warm - pre
+    decay = max(1e-5, (cutoff - eff) / cutoff)
+    return np.array(
+        [0.0, 0.0, cfg.mse_f * (1.0 - decay + 1e-5), cfg.dist_f * decay],
+        np.float32,
+    )
+
+
+def train_and_eval(
+    cfg: TrainConfig,
+    scene: Scene | None = None,
+    writer: Any = None,
+    monitor_cb: Callable[[int, dict], None] | None = None,
+    return_best_mse: bool = True,
+    progress_cb: Callable[[int, dict], None] | None = None,
+) -> float:
+    """Train the policy; returns best (or last) test MSE — the HPO objective.
+
+    ``writer``: optional MLflow/TensorBoard-style object with
+    ``add_scalar(tag, value, step)`` / ``add_images(...)``.
+    ``monitor_cb(step, monitor)``: optional hook for 3-D diagnostics dumps.
+    """
+    key = jax.random.PRNGKey(cfg.seed)
+    k_geo, k_env, k_policy, k_run = jax.random.split(key, 4)
+
+    if scene is None:
+        scene = make_reference_geometry(cfg.num_heliostats, k_geo)
+    N = scene.num_heliostats
+
+    env_cfg = env_lib.EnvConfig(
+        resolution=cfg.resolution,
+        batch_size=cfg.batch_size,
+        sigma_scale=cfg.sigma_scale,
+        error_scale_mrad=cfg.error_scale_mrad,
+        new_sun_pos_every_reset=cfg.new_sun_pos_every_reset,
+        new_errors_every_reset=cfg.new_errors_every_reset,
+        use_error_mask=cfg.use_error_mask,
+        error_mask_ratio=cfg.error_mask_ratio,
+        azimuth=cfg.azimuth,
+        elevation=cfg.elevation,
+        precision=cfg.precision,
+    )
+
+    # ---- stacked train env states sharing env 0's suns (ref :253-256)
+    env_keys = jax.random.split(k_env, cfg.num_batches + 1)
+    state0 = env_lib.init_state(scene, env_cfg, env_keys[0])
+    states = [state0]
+    for i in range(1, cfg.num_batches):
+        si = env_lib.init_state(scene, env_cfg, env_keys[i])
+        states.append(state0.replace(errors=si.errors))
+    train_states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    # ---- test env: train suns (first test_size), own fixed errors (ref :259-276)
+    test_B = min(cfg.test_size, cfg.batch_size)
+    test_cfg = dataclasses.replace(
+        env_cfg,
+        batch_size=test_B,
+        new_sun_pos_every_reset=False,
+        new_errors_every_reset=False,
+    )
+    test_state = env_lib.init_state(scene, test_cfg, env_keys[-1])
+    test_state = env_lib.set_sun_pos(
+        scene, test_cfg, test_state, state0.sun_pos[:test_B], env_keys[-1]
+    )
+
+    # ---- policy + optimizer
+    policy = PolicyNet(
+        num_heliostats=N,
+        architecture=cfg.architecture,
+        encoder=cfg.encoder,
+        lstm_hid=cfg.lstm_hid,
+        transformer_layers=cfg.transformer_layers,
+        transformer_heads=cfg.transformer_heads,
+        dropout=cfg.dropout,
+    )
+    dummy_img = jnp.zeros((cfg.batch_size, cfg.k, cfg.resolution, cfg.resolution))
+    dummy_aux = jnp.zeros((cfg.batch_size, 3 + N * 3))
+    params = policy.init(
+        k_policy, dummy_img, dummy_aux, policy.init_carry(cfg.batch_size)
+    )
+
+    def make_opt(learning_rate):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            adamp(learning_rate, weight_decay=cfg.weight_decay),
+        )
+
+    opt = optax.inject_hyperparams(make_opt)(learning_rate=cfg.lr)
+    opt_state = opt.init(params)
+
+    # ---- the one jitted train step
+    @jax.jit
+    def train_step(params, opt_state, states, key, weights):
+        def loss_fn(p):
+            keys = jax.random.split(key, cfg.num_batches)
+            results = jax.vmap(
+                lambda s, k: rollout(
+                    policy, p, scene, env_cfg, s, k,
+                    k=cfg.k, T=cfg.T,
+                    use_mean=cfg.use_mean, deterministic=False,
+                )
+            )(states, keys)
+            parts = jax.tree.map(jnp.mean, results.losses)   # mean over envs
+            total = (
+                weights[0] * parts["alignment_loss"]
+                + weights[1] * parts["bound"]
+                + weights[2] * parts["mse"]
+                + weights[3] * parts["dist"]
+            )
+            return total, (parts, results)
+
+        (loss, (parts, results)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_states = results.env_state
+        return params, opt_state, new_states, loss, parts, results
+
+    @jax.jit
+    def eval_step(params, state, key):
+        return rollout(
+            policy, params, scene, test_cfg, state, key,
+            k=cfg.k, T=cfg.T, deterministic=True,
+        )
+
+    # ---- scheduler machinery (host-side, like the reference)
+    plateau = PlateauTracker(cfg.lr, cfg.scheduler_patience, cfg.scheduler_factor)
+    cyc = cyclic_lr(
+        1e-5, cfg.lr, cfg.step_size_up, cfg.step_size_down,
+        mode=cfg.scheduler_mode, gamma=cfg.scheduler_gamma,
+    )
+    sched_count = 0
+    lr = cfg.lr
+
+    def next_lr(mse_value: float) -> float:
+        nonlocal sched_count
+        sched_count += 1
+        if cfg.scheduler == "plateau":
+            return plateau.step(mse_value)
+        if cfg.scheduler == "cyclic":
+            return float(cyc(sched_count))
+        if cfg.scheduler == "exp":
+            return lr * cfg.exp_decay
+        return lr
+
+    # ---- training loop
+    last_bound = math.inf
+    last_mse = None
+    best_mse = None
+    pretrain = cfg.alignment_pretrain_steps
+    run_key = k_run
+    t_start = time.time()
+
+    for step_i in range(cfg.steps + pretrain):
+        run_key, k_step, k_eval = jax.random.split(run_key, 3)
+        weights = _loss_weights(cfg, cfg.num_batches * step_i, last_bound)
+        params, opt_state, train_states, loss, parts, results = train_step(
+            params, opt_state, train_states, k_step, jnp.asarray(weights)
+        )
+
+        loss_f = float(loss)
+        last_bound = float(parts["bound"])
+
+        if not math.isfinite(loss_f):
+            print(f"NaN/Inf loss at step {step_i} (lr {lr:.2e}); bailing out")
+            if last_mse is not None:
+                return best_mse if return_best_mse else last_mse
+            return math.nan
+
+        # scheduler starts after pretrain+warmup (ref :385-394)
+        if cfg.num_batches * step_i > cfg.warmup_steps + pretrain:
+            lr = next_lr(float(parts["mse"]))
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+        if writer is not None:
+            writer.add_scalar("loss/total", loss_f, step_i)
+            writer.add_scalar("loss/mse", float(parts["mse"]), step_i)
+            writer.add_scalar("loss/dist", float(parts["dist"]), step_i)
+            writer.add_scalar("loss/bound", last_bound, step_i)
+            writer.add_scalar("hyperparams/lr", lr, step_i)
+
+        if monitor_cb is not None and (step_i % 50 == 0 or step_i == cfg.steps - 1):
+            mon0 = jax.tree.map(lambda x: np.asarray(x[0]), results.monitor)
+            monitor_cb(step_i, mon0)
+
+        if step_i % cfg.log_every == 0 or step_i == cfg.steps - 1:
+            print(
+                f"Step {step_i} | loss {loss_f:.4f} | "
+                f"mse_train {float(parts['mse']):.2e} | "
+                f"alignment_train {float(parts['alignment_loss']):.2e} | "
+                f"lr {lr:.6f} | {time.time() - t_start:.0f}s"
+            )
+
+        if step_i % cfg.eval_every == 0 or step_i == cfg.steps - 1:
+            test = eval_step(params, test_state, k_eval)
+            test_mse = float(test.losses["mse"])
+            last_mse = test_mse
+            best_mse = test_mse if best_mse is None else min(best_mse, test_mse)
+            print(
+                f"[{step_i:4d}] test_mse {test_mse:.2e} "
+                f"test_bound {float(test.losses['bound']):.2e} "
+                f"test_alignment {float(test.losses['alignment_loss']):.2e}"
+            )
+            if writer is not None:
+                writer.add_scalar("mse/test", test_mse, step_i)
+                writer.add_scalar("bound/test", float(test.losses["bound"]), step_i)
+                if hasattr(writer, "add_images"):
+                    imgs = np.asarray(results.final_img[0])[:, None]
+                    rng_ = max(
+                        float(train_states.ref_max[0] - train_states.ref_min[0]),
+                        1e-6,
+                    )
+                    writer.add_images(
+                        "Predicted/normalized_heatmaps",
+                        (imgs - float(train_states.ref_min[0])) / rng_,
+                        step_i,
+                    )
+
+        if progress_cb is not None:
+            progress_cb(
+                step_i,
+                {
+                    "loss": loss_f,
+                    "mse": float(parts["mse"]),
+                    "bound": last_bound,
+                    "lr": lr,
+                    "test_mse": last_mse,
+                },
+            )
+
+    if writer is not None and hasattr(writer, "close"):
+        writer.close()
+    return best_mse if return_best_mse else last_mse

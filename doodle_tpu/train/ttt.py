@@ -1,0 +1,515 @@
+"""TTT trainer family: residual actions, truncated-BPTT, advantage-style
+alignment, and test-time compute ("fine adjustment").
+
+Capability parity with ``train_with_env_com_trunc_advantage_ttt.py``:
+
+* **Residual action accumulation** — the policy predicts a delta that is
+  added to the previous step's normals and renormalized (ref ``:241-270``);
+* **Truncated BPTT** — every ``truncate_every`` steps the recurrent carry is
+  detached and scaled dist/bound contributions are accumulated while mse is
+  overwritten (ref ``:320-343``);
+* **Advantage-style alignment** — the per-step reward-difference sum
+  ``Σ_t(−align_t − (−align_{t−1}).detach())``, negated at the end
+  (ref ``:325-328,355``). Note its *gradient* equals ``Σ_t ∇align_t``; only
+  the reported value is baselined;
+* **Test-time compute** — a persistent learnable ``fine_error_vec [B,N,3]``
+  with its own Adam, ``fine_steps_per_t`` inner steps per env step
+  minimizing the dist loss through extra ``env.step`` calls with the policy
+  frozen (ref ``:274-315``); the inner loop is a ``lax.scan`` of
+  ``jax.grad`` + optax updates, fully on-device.
+
+The timestep loop is a static Python unroll (T ≤ ~34 in all reference
+configs) with each step ``jax.checkpoint``-ed, because the truncation
+boundaries, fine-adjustment windows and residual-detach rules are all
+functions of the static step index — unrolling turns every branch into
+straight-line XLA code with no traced conditionals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..env import env as env_lib
+from ..models.policy import PolicyNet
+from ..ops.optics import normalize
+
+__all__ = ["TTTRolloutResult", "ttt_rollout", "TTTConfig", "ttt_train_and_eval"]
+
+
+class TTTRolloutResult(NamedTuple):
+    losses: dict[str, jax.Array]
+    final_img: jax.Array
+    hist: jax.Array
+    mse_over_t: jax.Array          # [T]
+    monitor: dict[str, jax.Array]
+    imgs_over_t: jax.Array | None  # [T, B, res, res] when collected
+    fine_vec: jax.Array | None     # final fine_error_vec (TTC state)
+    env_state: env_lib.EnvState
+
+
+def ttt_rollout(
+    policy: PolicyNet,
+    params: Any,
+    scene,
+    cfg: env_lib.EnvConfig,
+    state: env_lib.EnvState,
+    key: jax.Array,
+    k: int,
+    T: int,
+    truncate_every: int | None = None,
+    detach_input: bool = False,
+    enable_fine: bool = False,
+    fine_adjustment_start_t: int = 6,
+    fine_from_t0: bool = False,
+    fine_steps_per_t: int = 10,
+    fine_lr: float = 1e-4,
+    fine_init_eps: float = 1e-4,
+    freeze_policy_during_fine: bool = True,
+    test_time: bool = False,
+    deterministic: bool = True,
+    collect_imgs: bool = False,
+    remat: bool = True,
+) -> TTTRolloutResult:
+    """Run the TTT rollout. The policy should be built with
+    ``normalize_output=False`` (the reference TTT net defers normalization
+    to the rollout, ``train_with_env_com_trunc_advantage_ttt.py:162``);
+    this function renormalizes after every residual update either way.
+    """
+    B = cfg.batch_size
+    res = cfg.resolution
+    k_reset, k_drop, k_fine = jax.random.split(key, 3)
+
+    state, obs = env_lib.reset(scene, cfg, state, k_reset)
+    img = jax.lax.stop_gradient(obs["img"])
+    aux = jax.lax.stop_gradient(obs["aux"])
+
+    hist = jnp.zeros((B, k, res, res), img.dtype).at[:, -1].set(img)
+    pcarry = policy.init_carry(B)
+    prev_normals = None
+
+    # --- TTC state (persistent across timesteps, ref :274-283)
+    fine_opt = optax.adam(fine_lr)
+    fine_vec = None
+    fine_opt_state = None
+    start_t = 0 if (enable_fine and fine_from_t0) else fine_adjustment_start_t
+
+    # --- truncation bookkeeping
+    trunc = truncate_every
+    coeff = 1.0 / max(1, (T // trunc)) if trunc else 0.0
+    acc = {
+        "mse": jnp.zeros(()), "dist": jnp.zeros(()), "bound": jnp.zeros(()),
+        "alignment_loss": jnp.zeros(()),
+    }
+    prev_reward = jnp.zeros(())
+
+    mse_over_t = []
+    imgs_over_t = []
+    losses = None
+    monitor = None
+    step_keys = jax.random.split(k_drop, T)
+
+    def policy_step(params, hist_in, aux_in, pcarry, key_t):
+        rngs = None if deterministic else {"dropout": key_t}
+        out, new_carry = policy.apply(
+            params, hist_in, aux_in, pcarry,
+            deterministic=deterministic,
+            **({"rngs": rngs} if rngs else {}),
+        )
+        return normalize(out), new_carry
+
+    if remat:
+        policy_step = jax.checkpoint(policy_step)
+
+    env_step = env_lib.step
+    if remat:
+        env_step = jax.checkpoint(env_step, static_argnums=(1,))
+
+    for t in range(T):
+        at_seg_start = trunc is not None and (t + 1) % trunc == 1 and t > 0
+        detach_now = detach_input or at_seg_start
+        hist_in = jax.lax.stop_gradient(hist) if detach_now else hist
+        aux_in = jax.lax.stop_gradient(aux) if detach_now else aux
+
+        delta, pcarry = policy_step(
+            jax.lax.stop_gradient(params) if test_time else params,
+            hist_in, aux_in, pcarry, step_keys[t],
+        )
+        if prev_normals is None:
+            base_normals = delta
+        else:
+            base_normals = normalize(delta + prev_normals)
+        if test_time:
+            base_normals = jax.lax.stop_gradient(base_normals)
+        prev_normals = base_normals
+        normals_to_apply = base_normals
+
+        # ---- test-time compute: inner optimization of fine_vec (ref :284-315)
+        if enable_fine and t >= start_t:
+            if fine_vec is None:
+                fine_vec = jax.random.uniform(
+                    k_fine, base_normals.shape, base_normals.dtype,
+                    -fine_init_eps, fine_init_eps,
+                )
+                fine_opt_state = fine_opt.init(fine_vec)
+
+            base_for_fine = (
+                jax.lax.stop_gradient(base_normals)
+                if freeze_policy_during_fine else base_normals
+            )
+
+            def fine_objective(fv):
+                candidate = normalize(base_for_fine + fv)
+                _, inner_losses, _ = env_step(scene, cfg, state, candidate)
+                return inner_losses["dist"]
+
+            def fine_inner(carry, _):
+                fv, os = carry
+                g = jax.grad(fine_objective)(fv)
+                updates, os = fine_opt.update(g, os)
+                return (optax.apply_updates(fv, updates), os), None
+
+            (fine_vec, fine_opt_state), _ = jax.lax.scan(
+                fine_inner, (fine_vec, fine_opt_state), None,
+                length=fine_steps_per_t,
+            )
+            normals_to_apply = normalize(base_normals + fine_vec)
+            prev_normals = normals_to_apply
+
+        obs_t, loss_t, monitor = env_step(scene, cfg, state, normals_to_apply)
+        losses = loss_t
+
+        # ---- truncated-BPTT accumulation (ref :320-343)
+        if trunc is not None:
+            acc["alignment_loss"] = acc["alignment_loss"] + (
+                -loss_t["alignment_loss"] - prev_reward
+            )
+            prev_reward = jax.lax.stop_gradient(-loss_t["alignment_loss"])
+            if (t == T - 1) or ((t + 1) % trunc == 0):
+                acc["mse"] = loss_t["mse"]
+                acc["dist"] = acc["dist"] + coeff * loss_t["dist"]
+                acc["bound"] = acc["bound"] + coeff * loss_t["bound"]
+                pcarry = jax.tree.map(jax.lax.stop_gradient, pcarry)
+
+        mse_over_t.append(loss_t["mse"])
+        img = obs_t["img"]
+        aux = obs_t["aux"]
+        if collect_imgs:
+            imgs_over_t.append(jax.lax.stop_gradient(img))
+        hist = jnp.roll(hist, -1, axis=1).at[:, -1].set(img)
+
+    if trunc is not None:
+        out_losses = dict(acc)
+        out_losses["alignment_loss"] = -acc["alignment_loss"]
+    else:
+        out_losses = losses
+
+    return TTTRolloutResult(
+        losses=out_losses,
+        final_img=img,
+        hist=hist,
+        mse_over_t=jnp.stack(mse_over_t),
+        monitor=monitor,
+        imgs_over_t=jnp.stack(imgs_over_t) if collect_imgs else None,
+        fine_vec=fine_vec,
+        env_state=state,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TTT trainer
+# ---------------------------------------------------------------------------
+
+from .trainer import TrainConfig, _loss_weights  # noqa: E402  (cycle-free)
+
+
+@dataclasses.dataclass(frozen=True)
+class TTTConfig(TrainConfig):
+    """TrainConfig + the TTT CLI extras
+    (``train_with_env_com_trunc_advantage_ttt.py:787-862``)."""
+
+    truncate_every: int | None = 4
+    fine_steps_per_t: int = 10
+    fine_enabled: str = "test"      # none | test | always
+    fine_lr: float = 1e-4
+    fine_adjustment_start_t: int = 6
+    fine_from_t0: bool = False
+    fine_init_eps: float = 1e-4
+    detach_input: bool = False
+    extra_steps: int = 0            # test rollouts run T + extra_steps
+    deg_diff: float = 4.0           # sun-curriculum azimuth spacing
+    max_deg_elevation: float = 18.0 # triangle-wave elevation amplitude
+    discard_first: int = 2          # envs excluded from the interpolation avg
+
+
+def _curriculum_angles(cfg: TTTConfig) -> tuple[list[tuple[float, float]],
+                                                tuple[float, float],
+                                                tuple[float, float]]:
+    """Per-env sun curriculum + extrapolation/interpolation test angles
+    (ref ``:376-420,424-456``): azimuth marches in ``deg_diff`` steps,
+    elevation follows a triangle wave of amplitude ``max_deg_elevation``."""
+    angles = []
+    avg_az = avg_el = 0.0
+    denom = max(1, cfg.num_batches - cfg.discard_first)
+    for i in range(cfg.num_batches):
+        az = cfg.azimuth + i * cfg.deg_diff
+        el = cfg.elevation + cfg.max_deg_elevation - abs(
+            cfg.max_deg_elevation - i * cfg.deg_diff
+        )
+        if i >= cfg.discard_first:
+            avg_az += az / denom
+            avg_el += el / denom
+        angles.append((az, el))
+    extrap = (
+        cfg.azimuth - 1.5 * cfg.deg_diff,
+        cfg.elevation - 0.5 * cfg.deg_diff,
+    )
+    return angles, extrap, (avg_az, avg_el)
+
+
+def ttt_train_and_eval(
+    cfg: TTTConfig,
+    scene=None,
+    writer: Any = None,
+    return_best_mse: bool = True,
+    progress_cb=None,
+) -> float:
+    """The TTT training loop (ref ``:363-781``): sun-curriculum train envs,
+    extrapolation + interpolation test envs, truncated-advantage objective,
+    and test-time compute during evaluation. Returns best (or last)
+    extrapolation-test MSE."""
+    import math
+    import time
+
+    import numpy as np
+
+    from ..optim import adamp
+    from .trainer import PlateauTracker, cyclic_lr, make_reference_geometry
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k_geo, k_env, k_policy, k_run = jax.random.split(key, 4)
+
+    if scene is None:
+        scene = make_reference_geometry(cfg.num_heliostats, k_geo)
+    N = scene.num_heliostats
+
+    def env_cfg_for(az, el, batch, new_sun=False, new_err=False):
+        return env_lib.EnvConfig(
+            resolution=cfg.resolution,
+            batch_size=batch,
+            sigma_scale=cfg.sigma_scale,
+            error_scale_mrad=cfg.error_scale_mrad,
+            new_sun_pos_every_reset=new_sun,
+            new_errors_every_reset=new_err,
+            use_error_mask=cfg.use_error_mask,
+            error_mask_ratio=cfg.error_mask_ratio,
+            azimuth=az,
+            elevation=el,
+            precision=cfg.precision,
+        )
+
+    angles, (ex_az, ex_el), (in_az, in_el) = _curriculum_angles(cfg)
+    env_keys = jax.random.split(k_env, cfg.num_batches + 2)
+    base_cfg = env_cfg_for(
+        angles[0][0], angles[0][1], cfg.batch_size,
+        cfg.new_sun_pos_every_reset, cfg.new_errors_every_reset,
+    )
+    states = [
+        env_lib.init_state(
+            scene,
+            env_cfg_for(az, el, cfg.batch_size,
+                        cfg.new_sun_pos_every_reset, cfg.new_errors_every_reset),
+            env_keys[i],
+        )
+        for i, (az, el) in enumerate(angles)
+    ]
+    train_states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    test_B = min(cfg.test_size, cfg.batch_size)
+    test_cfg_ex = env_cfg_for(ex_az, ex_el, test_B)
+    test_cfg_in = env_cfg_for(in_az, in_el, test_B)
+    test_state_ex = env_lib.init_state(scene, test_cfg_ex, env_keys[-2])
+    test_state_in = env_lib.init_state(scene, test_cfg_in, env_keys[-1])
+
+    policy = PolicyNet(
+        num_heliostats=N,
+        architecture=cfg.architecture,
+        encoder=cfg.encoder,
+        lstm_hid=cfg.lstm_hid,
+        transformer_layers=cfg.transformer_layers,
+        transformer_heads=cfg.transformer_heads,
+        dropout=cfg.dropout,
+        normalize_output=False,     # rollout renormalizes (ref :162)
+    )
+    dummy_img = jnp.zeros((cfg.batch_size, cfg.k, cfg.resolution, cfg.resolution))
+    dummy_aux = jnp.zeros((cfg.batch_size, 3 + N * 3))
+    params = policy.init(
+        k_policy, dummy_img, dummy_aux, policy.init_carry(cfg.batch_size)
+    )
+
+    def make_opt(learning_rate):
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            adamp(learning_rate, weight_decay=cfg.weight_decay),
+        )
+
+    opt = optax.inject_hyperparams(make_opt)(learning_rate=cfg.lr)
+    opt_state = opt.init(params)
+
+    train_fine = cfg.fine_enabled == "always"
+    test_fine = cfg.fine_enabled in ("test", "always")
+
+    @jax.jit
+    def train_step(params, opt_state, states, key, weights):
+        def loss_fn(p):
+            keys = jax.random.split(key, cfg.num_batches)
+            results = jax.vmap(
+                lambda s, k: ttt_rollout(
+                    policy, p, scene, base_cfg, s, k,
+                    k=cfg.k, T=cfg.T,
+                    truncate_every=cfg.truncate_every,
+                    detach_input=cfg.detach_input,
+                    enable_fine=train_fine,
+                    fine_steps_per_t=cfg.fine_steps_per_t,
+                    fine_lr=cfg.fine_lr,
+                    fine_adjustment_start_t=cfg.fine_adjustment_start_t,
+                    fine_from_t0=cfg.fine_from_t0,
+                    fine_init_eps=cfg.fine_init_eps,
+                    deterministic=False,
+                )
+            )(states, keys)
+            parts = jax.tree.map(jnp.mean, results.losses)
+            total = (
+                weights[0] * parts["alignment_loss"]
+                + weights[1] * parts["bound"]
+                + weights[2] * parts["mse"]
+                + weights[3] * parts["dist"]
+            )
+            return total, (parts, results.env_state)
+
+        (loss, (parts, new_states)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_states, loss, parts
+
+    @jax.jit
+    def eval_step(params, state, key):
+        res = ttt_rollout(
+            policy, params, scene, test_cfg_ex, state, key,
+            k=cfg.k, T=cfg.T + cfg.extra_steps,
+            truncate_every=cfg.truncate_every,
+            detach_input=cfg.detach_input,
+            enable_fine=test_fine,
+            fine_steps_per_t=cfg.fine_steps_per_t,
+            fine_lr=cfg.fine_lr,
+            fine_adjustment_start_t=cfg.fine_adjustment_start_t,
+            fine_from_t0=cfg.fine_from_t0,
+            fine_init_eps=cfg.fine_init_eps,
+            test_time=True,
+            deterministic=True,
+        )
+        return res.losses, res.mse_over_t
+
+    @jax.jit
+    def eval_step_interp(params, state, key):
+        res = ttt_rollout(
+            policy, params, scene, test_cfg_in, state, key,
+            k=cfg.k, T=cfg.T + cfg.extra_steps,
+            truncate_every=cfg.truncate_every,
+            detach_input=cfg.detach_input,
+            enable_fine=test_fine,
+            fine_steps_per_t=cfg.fine_steps_per_t,
+            fine_lr=cfg.fine_lr,
+            fine_adjustment_start_t=cfg.fine_adjustment_start_t,
+            fine_from_t0=cfg.fine_from_t0,
+            fine_init_eps=cfg.fine_init_eps,
+            test_time=True,
+            deterministic=True,
+        )
+        return res.losses, res.mse_over_t
+
+    plateau = PlateauTracker(cfg.lr, cfg.scheduler_patience, cfg.scheduler_factor)
+    cyc = cyclic_lr(1e-5, cfg.lr, cfg.step_size_up, cfg.step_size_down,
+                    mode=cfg.scheduler_mode, gamma=cfg.scheduler_gamma)
+    sched_count = 0
+    lr = cfg.lr
+    last_bound = math.inf
+    prev_loss: float | None = None
+    last_mse = best_mse = None
+    pretrain = cfg.alignment_pretrain_steps
+    run_key = k_run
+    t_start = time.time()
+
+    for step_i in range(cfg.steps + pretrain):
+        run_key, k_step, k_ev = jax.random.split(run_key, 3)
+        weights = _loss_weights(cfg, cfg.num_batches * step_i, last_bound)
+        params, opt_state, train_states, loss, parts = train_step(
+            params, opt_state, train_states, k_step, jnp.asarray(weights)
+        )
+        loss_f = float(loss)
+        last_bound = float(parts["bound"])
+        # Advantage baseline (ref :579-588): value-level only — subtracting a
+        # detached scalar does not change gradients.
+        objective = loss_f if prev_loss is None else loss_f - prev_loss
+        prev_loss = loss_f
+
+        if not math.isfinite(loss_f):
+            print(f"NaN loss at step {step_i} (lr {lr:.2e}); bailing out")
+            return (best_mse if return_best_mse else last_mse) \
+                if last_mse is not None else math.nan
+
+        if cfg.num_batches * step_i > cfg.warmup_steps + pretrain:
+            sched_count += 1
+            if cfg.scheduler == "plateau":
+                lr = plateau.step(float(parts["mse"]))
+            elif cfg.scheduler == "cyclic":
+                lr = float(cyc(sched_count))
+            elif cfg.scheduler == "exp":
+                lr = lr * cfg.exp_decay
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+        if writer is not None:
+            writer.add_scalar("loss/total", loss_f, step_i)
+            writer.add_scalar("loss/objective", objective, step_i)
+            writer.add_scalar("loss/mse", float(parts["mse"]), step_i)
+            writer.add_scalar("loss/dist", float(parts["dist"]), step_i)
+            writer.add_scalar("loss/bound", last_bound, step_i)
+            writer.add_scalar("hyperparams/lr", lr, step_i)
+
+        if step_i % cfg.log_every == 0 or step_i == cfg.steps - 1:
+            print(
+                f"Step {step_i} | loss {loss_f:.4f} | obj {objective:.4f} | "
+                f"mse {float(parts['mse']):.2e} | "
+                f"align {float(parts['alignment_loss']):.2e} | lr {lr:.6f} | "
+                f"{time.time() - t_start:.0f}s"
+            )
+
+        if step_i % cfg.eval_every == 0 or step_i == cfg.steps - 1:
+            ex_losses, _ = eval_step(params, test_state_ex, k_ev)
+            in_losses, _ = eval_step_interp(params, test_state_in, k_ev)
+            test_mse = float(ex_losses["mse"])
+            last_mse = test_mse
+            best_mse = test_mse if best_mse is None else min(best_mse, test_mse)
+            print(
+                f"[{step_i:4d}] extrap_mse {test_mse:.2e} "
+                f"interp_mse {float(in_losses['mse']):.2e}"
+            )
+            if writer is not None:
+                writer.add_scalar("mse/test_extrapolation", test_mse, step_i)
+                writer.add_scalar(
+                    "mse/test_interpolation", float(in_losses["mse"]), step_i
+                )
+
+        if progress_cb is not None:
+            progress_cb(step_i, {"loss": loss_f, "objective": objective,
+                                 "lr": lr, "test_mse": last_mse})
+
+    if writer is not None and hasattr(writer, "close"):
+        writer.close()
+    return best_mse if return_best_mse else last_mse

@@ -1,0 +1,128 @@
+"""Sharding tests on the 8-device virtual CPU mesh: mesh construction,
+EnvState sharding, helio-sharded render parity vs the single-device
+renderer, and a sharded train step that matches the unsharded one."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from doodle_tpu.core.field import render
+from doodle_tpu.core.scene import FieldConfig, make_scene
+from doodle_tpu.env import env as env_lib
+from doodle_tpu.models.policy import PolicyNet
+from doodle_tpu.parallel import (
+    BATCH_AXIS,
+    HELIO_AXIS,
+    make_mesh,
+    make_sharded_train_step,
+    render_helio_sharded,
+    shard_env_state,
+)
+from doodle_tpu.train.rollout import rollout
+
+
+@pytest.fixture(scope="module")
+def scene8():
+    pos = np.stack(
+        [np.linspace(-20, 20, 8), np.full(8, 80.0), np.zeros(8)], axis=1
+    )
+    return make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+
+
+def test_make_mesh_shapes():
+    m = make_mesh(8)
+    assert m.shape[BATCH_AXIS] == 8 and m.shape[HELIO_AXIS] == 1
+    m2 = make_mesh(8, helio_parallel=2)
+    assert m2.shape[BATCH_AXIS] == 4 and m2.shape[HELIO_AXIS] == 2
+    with pytest.raises(ValueError):
+        make_mesh(8, helio_parallel=3)
+
+
+def test_shard_env_state_placement(scene8):
+    cfg = env_lib.EnvConfig(resolution=16, batch_size=8, error_scale_mrad=30.0)
+    state = env_lib.init_state(scene8, cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(8)
+    sharded = shard_env_state(mesh, state)
+    spec = sharded.errors.sharding.spec
+    assert spec[0] == BATCH_AXIS
+    assert sharded.ref_min.sharding.spec == P()
+
+
+def test_helio_sharded_render_matches_dense(scene8):
+    cfg = FieldConfig(resolution=32, sigma_scale=0.1, target_width=15.0,
+                      target_height=15.0)
+    B, N = 4, 8
+    key = jax.random.PRNGKey(1)
+    sun = jax.random.normal(key, (B, 3))
+    sun = sun.at[:, 2].set(jnp.abs(sun[:, 2])) * 10000.0
+    normals = jax.random.normal(jax.random.PRNGKey(2), (B, N, 3))
+    normals = normals / jnp.linalg.norm(normals, axis=-1, keepdims=True)
+    errors = jax.random.normal(jax.random.PRNGKey(3), (B, N, 2)) * 10.0
+
+    dense, _, _ = render(scene8, cfg, sun, normals, errors)
+    mesh = make_mesh(8, helio_parallel=4)
+    sharded = render_helio_sharded(scene8, cfg, sun, normals, errors, mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(dense), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_helio_sharded_render_rejects_indivisible(scene8):
+    cfg = FieldConfig(resolution=16)
+    mesh = make_mesh(6, helio_parallel=3)
+    with pytest.raises(ValueError):
+        render_helio_sharded(
+            scene8, cfg,
+            jnp.ones((2, 3)), jnp.ones((2, 8, 3)), jnp.ones((2, 8, 2)), mesh,
+        )
+
+
+def test_sharded_train_step_matches_unsharded(scene8):
+    """One DP-sharded train step must equal the single-device step bitwise
+    (same math, different placement)."""
+    cfg = env_lib.EnvConfig(
+        resolution=16, batch_size=8, sigma_scale=0.1, error_scale_mrad=30.0
+    )
+    state = env_lib.init_state(scene8, cfg, jax.random.PRNGKey(0))
+    policy = PolicyNet(num_heliostats=8, enc_dim=16, lstm_hid=16,
+                       architecture="lstm", dropout=0.0)
+    img = jnp.zeros((8, 2, 16, 16))
+    aux = jnp.zeros((8, 3 + 24))
+    params = policy.init(jax.random.PRNGKey(1), img, aux, policy.init_carry(8))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    weights = jnp.array([1.0, 0.0, 0.0, 0.0])
+    key = jax.random.PRNGKey(5)
+
+    mesh = make_mesh(8)
+    sharded_step = make_sharded_train_step(
+        policy, scene8, cfg, opt, mesh, k=2, T=2, deterministic=True
+    )
+    s_state = shard_env_state(mesh, state)
+    p1, o1, st1, loss1, parts1 = sharded_step(
+        params, opt_state, s_state, key, weights
+    )
+
+    def plain_step(params, opt_state, env_state, key, weights):
+        def loss_fn(p):
+            res = rollout(policy, p, scene8, cfg, env_state, key,
+                          k=2, T=2, deterministic=True)
+            parts = res.losses
+            total = weights[0] * parts["alignment_loss"]
+            return total, parts
+
+        (loss, parts), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, up), opt_state, loss, parts
+
+    p2, o2, loss2, parts2 = jax.jit(plain_step)(
+        params, opt_state, state, key, weights
+    )
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # The sharded step really ran on 8 devices
+    assert len(loss1.devices()) == 8 or loss1.sharding.is_fully_replicated

@@ -1,0 +1,183 @@
+"""Train-layer tests: scan rollout semantics, gradient flow, vmap over
+stacked env states, loss-phase schedule, and a short end-to-end
+train_and_eval run on a tiny scene."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from doodle_tpu.core.scene import make_scene
+from doodle_tpu.env import env as env_lib
+from doodle_tpu.models.policy import PolicyNet
+from doodle_tpu.train import RolloutResult, TrainConfig, rollout, train_and_eval
+from doodle_tpu.train.trainer import PlateauTracker, _loss_weights
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    key = jax.random.PRNGKey(0)
+    pos = np.stack(
+        [np.linspace(-10, 10, 5), np.full(5, 80.0), np.zeros(5)], axis=1
+    )
+    scene = make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+    cfg = env_lib.EnvConfig(
+        resolution=16, batch_size=4, sigma_scale=0.1, error_scale_mrad=30.0
+    )
+    state = env_lib.init_state(scene, cfg, key)
+    policy = PolicyNet(
+        num_heliostats=5, enc_dim=16, lstm_hid=16, architecture="lstm",
+        dropout=0.0,
+    )
+    img = jnp.zeros((4, 2, 16, 16))
+    aux = jnp.zeros((4, 3 + 15))
+    params = policy.init(jax.random.PRNGKey(1), img, aux, policy.init_carry(4))
+    return scene, cfg, state, policy, params
+
+
+def test_rollout_shapes(tiny):
+    scene, cfg, state, policy, params = tiny
+    res = rollout(policy, params, scene, cfg, state, jax.random.PRNGKey(2),
+                  k=2, T=3)
+    assert isinstance(res, RolloutResult)
+    assert res.final_img.shape == (4, 16, 16)
+    assert res.hist.shape == (4, 2, 16, 16)
+    assert res.mse_over_t.shape == (3,)
+    for name in ("mse", "dist", "bound", "alignment_loss"):
+        assert res.losses[name].shape == ()
+        assert np.isfinite(float(res.losses[name]))
+    assert res.monitor["normals"].shape == (4, 5, 3)
+
+
+def test_rollout_use_mean_differs_from_final(tiny):
+    scene, cfg, state, policy, params = tiny
+    key = jax.random.PRNGKey(3)
+    final = rollout(policy, params, scene, cfg, state, key, k=2, T=3)
+    mean = rollout(policy, params, scene, cfg, state, key, k=2, T=3,
+                   use_mean=True)
+    np.testing.assert_allclose(
+        float(mean.losses["mse"]), float(np.mean(final.mse_over_t)), rtol=1e-5
+    )
+    # final-step loss equals the last mse_over_t entry
+    np.testing.assert_allclose(
+        float(final.losses["mse"]), float(final.mse_over_t[-1]), rtol=1e-6
+    )
+
+
+def test_rollout_gradients_flow_to_policy(tiny):
+    scene, cfg, state, policy, params = tiny
+
+    def loss_fn(p):
+        res = rollout(policy, p, scene, cfg, state, jax.random.PRNGKey(4),
+                      k=2, T=2)
+        return res.losses["alignment_loss"]
+
+    g = jax.grad(loss_fn)(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
+def test_rollout_jit_and_vmap_over_states(tiny):
+    scene, cfg, state, policy, params = tiny
+    stacked = jax.tree.map(lambda x: jnp.stack([x, x]), state)
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+
+    @jax.jit
+    def run(states, keys):
+        return jax.vmap(
+            lambda s, k: rollout(policy, params, scene, cfg, s, k, k=2, T=2)
+        )(states, keys)
+
+    res = run(stacked, keys)
+    assert res.losses["mse"].shape == (2,)
+    assert res.final_img.shape == (2, 4, 16, 16)
+
+
+def test_rollout_deterministic_given_key(tiny):
+    scene, cfg, state, policy, params = tiny
+    key = jax.random.PRNGKey(6)
+    a = rollout(policy, params, scene, cfg, state, key, k=2, T=2)
+    b = rollout(policy, params, scene, cfg, state, key, k=2, T=2)
+    np.testing.assert_array_equal(
+        np.asarray(a.final_img), np.asarray(b.final_img)
+    )
+
+
+# ------------------------------------------------------------- schedule
+def _cfg(**kw):
+    base = dict(
+        num_heliostats=5, batch_size=4, num_batches=1, steps=100,
+        alignment_pretrain_steps=10, warmup_steps=5,
+        alignment_always=False,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_loss_weights_phases():
+    cfg = _cfg()
+    w = _loss_weights(cfg, 0, last_bound=np.inf)
+    assert w[0] > 0 and w[1] == w[2] == w[3] == 0          # pretrain
+    w = _loss_weights(cfg, 12, last_bound=np.inf)
+    assert w[1] > 0 and w[0] == w[2] == w[3] == 0          # warmup/boundary
+    w = _loss_weights(cfg, 50, last_bound=0.0)
+    assert w[2] > 0 and w[3] > 0 and w[0] == w[1] == 0     # blended
+    # decay shrinks dist weight over time
+    w2 = _loss_weights(cfg, 90, last_bound=0.0)
+    assert w2[3] < w[3] and w2[2] > w[2]
+
+
+def test_loss_weights_alignment_always():
+    cfg = _cfg(alignment_always=True)
+    w = _loss_weights(cfg, 500, last_bound=0.0)
+    assert w[0] > 0 and w[1] == w[2] == w[3] == 0
+
+
+def test_plateau_tracker():
+    t = PlateauTracker(1.0, patience=2, factor=0.5)
+    assert t.step(1.0) == 1.0
+    assert t.step(0.5) == 1.0       # improvement
+    assert t.step(0.6) == 1.0       # bad 1
+    assert t.step(0.6) == 1.0       # bad 2
+    assert t.step(0.6) == 0.5       # bad 3 > patience → cut
+
+
+# ------------------------------------------------------- end-to-end tiny
+def test_train_and_eval_tiny_runs_and_improves(tiny):
+    scene, *_ = tiny
+    cfg = TrainConfig(
+        num_heliostats=5, batch_size=4, num_batches=2, steps=6, T=2, k=2,
+        resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+        alignment_pretrain_steps=4, warmup_steps=1,
+        lr=1e-3, grad_clip=1.0, scheduler="none", eval_every=3,
+        log_every=100, test_size=4, dropout=0.0,
+    )
+    scalars = []
+
+    class Rec:
+        def add_scalar(self, tag, val, step):
+            scalars.append((tag, val, step))
+
+    best = train_and_eval(cfg, scene=scene, writer=Rec())
+    assert best is not None and np.isfinite(best)
+    tags = {t for t, _, _ in scalars}
+    assert {"loss/total", "loss/mse", "mse/test"} <= tags
+
+
+def test_train_and_eval_scheduler_exp_changes_lr(tiny):
+    scene, *_ = tiny
+    cfg = TrainConfig(
+        num_heliostats=5, batch_size=4, num_batches=1, steps=8, T=2, k=2,
+        resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+        alignment_pretrain_steps=0, warmup_steps=0,
+        lr=1e-3, grad_clip=1.0, scheduler="exp", exp_decay=0.5,
+        eval_every=100, log_every=100, test_size=4, dropout=0.0,
+    )
+    lrs = []
+    train_and_eval(
+        cfg, scene=scene,
+        progress_cb=lambda i, m: lrs.append(m["lr"]),
+    )
+    assert lrs[-1] < lrs[0]
