@@ -31,4 +31,4 @@ Subpackages:
 
 __version__ = "0.1.0"
 
-from . import ops  # noqa: F401
+from . import core, env, hpo, models, ops, optim, parallel, train, utils  # noqa: F401

@@ -1,0 +1,88 @@
+"""Optuna TPE driver (import-gated; parity: ``newenv/optuna_run.py``,
+``newenv/optuna_env.py``, ``newenv/bayesian_optimization.py``).
+
+Multivariate/grouped TPE + MedianPruner over a declarative space, SQLite
+storage with ``load_if_exists`` resume, NaN/explosion pruning, CSV export of
+the trial history. Raises ImportError with guidance if optuna is missing —
+use :mod:`doodle_tpu.hpo.random_search` then.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Mapping
+
+__all__ = ["optuna_minimize"]
+
+
+def optuna_minimize(
+    objective: Callable[[dict], float],
+    space: Mapping[str, dict],
+    n_trials: int = 50,
+    study_name: str = "doodle_tpu",
+    storage: str | None = None,       # e.g. "sqlite:///optuna.db"
+    seed: int = 0,
+    prune_above: float = 1e9,
+    constraint: Callable[[dict], bool] | None = None,
+    csv_out: str | None = None,
+):
+    """Run a TPE study; returns ``(best_params, best_value, study)``.
+
+    ``space`` entries: {"low","high","log","int"} or {"choices": [...]}
+    — the same schema as :func:`doodle_tpu.hpo.random_search.random_search`.
+    """
+    try:
+        import optuna
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "optuna is not installed; use doodle_tpu.hpo.random_search or "
+            "iterative_grid_search instead"
+        ) from e
+
+    def suggest(trial: "optuna.Trial") -> dict:
+        params = {}
+        for name, spec in space.items():
+            if "choices" in spec:
+                params[name] = trial.suggest_categorical(
+                    name, list(spec["choices"])
+                )
+            elif spec.get("int", False):
+                params[name] = trial.suggest_int(
+                    name, int(spec["low"]), int(spec["high"]),
+                    log=spec.get("log", False),
+                )
+            else:
+                params[name] = trial.suggest_float(
+                    name, float(spec["low"]), float(spec["high"]),
+                    log=spec.get("log", False),
+                )
+        return params
+
+    def wrapped(trial: "optuna.Trial") -> float:
+        params = suggest(trial)
+        if constraint is not None and not constraint(params):
+            raise optuna.TrialPruned("constraint violated")
+        try:
+            val = float(objective(params))
+        except Exception as e:
+            raise optuna.TrialPruned(f"crashed: {e}") from e
+        if not math.isfinite(val) or val > prune_above:
+            raise optuna.TrialPruned(f"bad value {val}")
+        return val
+
+    sampler = optuna.samplers.TPESampler(
+        seed=seed, multivariate=True, group=True
+    )
+    study = optuna.create_study(
+        study_name=study_name,
+        storage=storage,
+        load_if_exists=storage is not None,
+        direction="minimize",
+        sampler=sampler,
+        pruner=optuna.pruners.MedianPruner(),
+    )
+    study.optimize(wrapped, n_trials=n_trials)
+
+    if csv_out:
+        study.trials_dataframe().to_csv(csv_out, index=False)
+    return study.best_params, study.best_value, study

@@ -1,0 +1,173 @@
+"""Metric writers with a common SummaryWriter-flavored surface.
+
+The reference's ``MLflowWriter`` (``mlflow_logger.py:7-93``) presents
+TensorBoard's ``add_scalar``/``add_images``/``log_artifact`` API over MLflow.
+Here the same protocol has three interchangeable backends:
+
+* :class:`JsonlWriter`       — dependency-free, one JSON line per event
+  (the always-available default; trivially greppable/plottable);
+* :class:`TensorBoardWriter` — ``torch.utils.tensorboard`` when available;
+* :class:`MLflowWriter`      — the reference's backend, import-gated.
+
+:class:`MultiWriter` fans out to several.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+from typing import Any
+
+import numpy as np
+
+__all__ = ["JsonlWriter", "TensorBoardWriter", "MLflowWriter", "MultiWriter"]
+
+
+class JsonlWriter:
+    """Append metric events to ``<logdir>/metrics.jsonl``; images go to
+    ``<logdir>/images/`` as .npy."""
+
+    def __init__(self, logdir: str, params: dict[str, Any] | None = None) -> None:
+        self.dir = pathlib.Path(logdir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._f = open(self.dir / "metrics.jsonl", "a")
+        if params:
+            json.dump({"event": "params", "params": params}, self._f)
+            self._f.write("\n")
+
+    def add_scalar(self, tag: str, value, step: int) -> None:
+        json.dump(
+            {"event": "scalar", "tag": tag, "value": float(value),
+             "step": int(step), "ts": time.time()},
+            self._f,
+        )
+        self._f.write("\n")
+
+    def add_images(self, tag: str, img_tensor, global_step: int,
+                   dataformats: str = "NCHW") -> None:
+        imgs = np.asarray(img_tensor)
+        out = self.dir / "images"
+        out.mkdir(exist_ok=True)
+        safe = tag.replace("/", "_")
+        np.save(out / f"{safe}_{global_step}.npy", imgs)
+
+    def log_artifact(self, path: str) -> None:
+        json.dump({"event": "artifact", "path": str(path)}, self._f)
+        self._f.write("\n")
+
+    def flush(self) -> None:
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class TensorBoardWriter:
+    """Thin pass-through to ``torch.utils.tensorboard.SummaryWriter`` (the
+    backend of the reference's older generations,
+    ``newenv/train_agent_multi_error_seq.py:253``)."""
+
+    def __init__(self, logdir: str, params: dict[str, Any] | None = None) -> None:
+        from torch.utils.tensorboard import SummaryWriter
+
+        self._w = SummaryWriter(logdir)
+        if params:
+            self._w.add_text("params", json.dumps(params, default=str))
+
+    def add_scalar(self, tag, value, step):
+        self._w.add_scalar(tag, float(value), step)
+
+    def add_images(self, tag, img_tensor, global_step, dataformats="NCHW"):
+        import torch
+
+        self._w.add_images(
+            tag, torch.as_tensor(np.asarray(img_tensor)), global_step,
+            dataformats=dataformats,
+        )
+
+    def log_artifact(self, path):
+        pass
+
+    def flush(self):
+        self._w.flush()
+
+    def close(self):
+        self._w.close()
+
+
+class MLflowWriter:
+    """SummaryWriter-shaped MLflow logger (parity: ``mlflow_logger.py:7-93``):
+    scalars → ``log_metric``, image batches (≤16, clipped to [0,1]) →
+    ``log_image`` artifacts. Requires the ``mlflow`` package."""
+
+    def __init__(
+        self,
+        experiment_id: str | None = None,
+        run_name: str | None = None,
+        params: dict[str, Any] | None = None,
+        tracking_uri: str | None = None,
+    ) -> None:
+        import mlflow  # gated: not part of the base image
+
+        self._mlflow = mlflow
+        if tracking_uri:
+            mlflow.set_tracking_uri(tracking_uri)
+        self._run = mlflow.start_run(
+            experiment_id=experiment_id, run_name=run_name
+        )
+        if params:
+            mlflow.log_params(
+                {k: str(v)[:500] for k, v in params.items()}
+            )
+
+    def add_scalar(self, tag, value, step):
+        self._mlflow.log_metric(tag.replace("/", "."), float(value), step=step)
+
+    def add_images(self, tag, img_tensor, global_step, dataformats="NCHW"):
+        imgs = np.asarray(img_tensor)
+        if dataformats == "NCHW":
+            imgs = imgs.transpose(0, 2, 3, 1)
+        imgs = np.clip(imgs, 0.0, 1.0)[:16]
+        for i, im in enumerate(imgs):
+            self._mlflow.log_image(
+                im.squeeze(), f"{tag.replace('/', '_')}/{global_step}_{i}.png"
+            )
+
+    def log_artifact(self, path):
+        self._mlflow.log_artifact(path)
+
+    def flush(self):
+        pass
+
+    def close(self):
+        self._mlflow.end_run()
+
+
+class MultiWriter:
+    """Fan out every call to several writers."""
+
+    def __init__(self, *writers) -> None:
+        self.writers = [w for w in writers if w is not None]
+
+    def add_scalar(self, *a, **kw):
+        for w in self.writers:
+            w.add_scalar(*a, **kw)
+
+    def add_images(self, *a, **kw):
+        for w in self.writers:
+            if hasattr(w, "add_images"):
+                w.add_images(*a, **kw)
+
+    def log_artifact(self, *a, **kw):
+        for w in self.writers:
+            if hasattr(w, "log_artifact"):
+                w.log_artifact(*a, **kw)
+
+    def flush(self):
+        for w in self.writers:
+            w.flush()
+
+    def close(self):
+        for w in self.writers:
+            w.close()

@@ -1,0 +1,106 @@
+"""Utils-layer tests: writers, plotting HTML, NaN guards, profiling timer,
+orbax checkpoint round-trip."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from doodle_tpu.utils import (
+    JsonlWriter,
+    MultiWriter,
+    StepTimer,
+    check_finite,
+    find_nonfinite,
+    restore_checkpoint,
+    save_checkpoint,
+    scatter3d_vectors,
+)
+
+
+def test_jsonl_writer_roundtrip(tmp_path):
+    w = JsonlWriter(str(tmp_path / "run"), params={"lr": 1e-3})
+    w.add_scalar("loss/mse", 0.5, 1)
+    w.add_scalar("loss/mse", 0.25, 2)
+    w.add_images("pred", np.zeros((2, 1, 4, 4)), 2)
+    w.close()
+    lines = [json.loads(l) for l in
+             (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["event"] == "params"
+    scalars = [l for l in lines if l["event"] == "scalar"]
+    assert scalars[0]["value"] == 0.5 and scalars[1]["step"] == 2
+    assert (tmp_path / "run" / "images" / "pred_2.npy").exists()
+
+
+def test_multi_writer_fanout(tmp_path):
+    w1 = JsonlWriter(str(tmp_path / "a"))
+    w2 = JsonlWriter(str(tmp_path / "b"))
+    mw = MultiWriter(w1, w2, None)
+    mw.add_scalar("x", 1.0, 0)
+    mw.close()
+    for d in ("a", "b"):
+        assert "scalar" in (tmp_path / d / "metrics.jsonl").read_text()
+
+
+def test_scatter3d_writes_selfcontained_html(tmp_path):
+    v = np.random.randn(10, 3)
+    c = np.random.rand(10)
+    out = scatter3d_vectors(v, c, html_file=str(tmp_path / "sub" / "p.html"),
+                            title="t")
+    text = (tmp_path / "sub" / "p.html").read_text()
+    assert "scatter3d" in text and "plotly" in text
+    assert "aspectmode" in text
+    # the data survived the JSON round trip
+    assert f"{v[0, 0]:.6f}"[:6] in text or str(round(v[0, 0], 4))[:5] in text
+
+
+def test_scatter3d_length_mismatch(tmp_path):
+    with pytest.raises(ValueError):
+        scatter3d_vectors(np.zeros((3, 3)), np.zeros(2),
+                          html_file=str(tmp_path / "x.html"))
+
+
+def test_find_nonfinite():
+    tree = {"a": jnp.ones(3), "b": {"c": jnp.array([1.0, jnp.nan])}}
+    bad = find_nonfinite(tree, "g")
+    assert len(bad) == 1 and "'b'" in bad[0] and "'c'" in bad[0]
+    assert find_nonfinite({"x": jnp.zeros(2)}) == []
+
+
+def test_check_finite_checkify():
+    from jax.experimental import checkify
+
+    def f(x):
+        return check_finite(x, "x") * 2
+
+    checked = checkify.checkify(f)
+    err, out = checked(jnp.ones(3))
+    err.throw()  # no error
+    err, _ = checked(jnp.array([1.0, jnp.inf]))
+    with pytest.raises(Exception, match="NaN/Inf"):
+        err.throw()
+
+
+def test_step_timer():
+    t = StepTimer(skip=1)
+    t.tick()
+    assert t.steps_per_s == 0.0
+    for _ in range(3):
+        t.tick()
+    assert t.measured_steps == 3
+    assert t.steps_per_s > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "step": jnp.asarray(7),
+    }
+    path = save_checkpoint(str(tmp_path / "ckpt"), tree)
+    restored = restore_checkpoint(path, target=tree)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(tree["params"]["w"])
+    )
+    assert int(restored["step"]) == 7
