@@ -31,4 +31,22 @@ Subpackages:
 
 __version__ = "0.1.0"
 
+# Persistent compilation cache: the big jitted programs (train steps with
+# vmap+scan+remat) take minutes to compile on the remote TPU compile path;
+# caching makes every repeat run (benchmarks, resumed experiments, sweeps)
+# start in seconds. Opt out by setting JAX_COMPILATION_CACHE_DIR="".
+import os as _os
+
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    import jax as _jax
+
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser("~/.cache/doodle_tpu_xla"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - older jax without the flags
+        pass
+
 from . import core, env, hpo, models, ops, optim, parallel, train, utils  # noqa: F401

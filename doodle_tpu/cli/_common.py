@@ -1,0 +1,75 @@
+"""Shared argparse plumbing for the trainer CLIs."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any
+
+
+def add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
+    """One ``--flag`` per dataclass field, typed from the field default.
+
+    bools use explicit true/false parsing (the reference's ``type=bool``
+    flags silently treat any string as True — a footgun we don't copy);
+    Optional[float] fields accept ``none``.
+    """
+    for f in dataclasses.fields(cls):
+        name = f"--{f.name}"
+        default = f.default
+        optional = "None" in str(f.type)
+        if isinstance(default, bool):
+            parser.add_argument(
+                name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                default=default,
+            )
+        elif isinstance(default, int) and not optional:
+            parser.add_argument(name, type=int, default=default)
+        elif isinstance(default, float) and not optional:
+            parser.add_argument(name, type=float, default=default)
+        elif optional and isinstance(default, (int, float, type(None))):
+            parser.add_argument(
+                name,
+                type=lambda s: None if s.lower() == "none" else _num_or_str(s),
+                default=default,
+            )
+        elif default is None or isinstance(default, (str, type(None))):
+            parser.add_argument(
+                name,
+                type=lambda s: None if s.lower() == "none" else _num_or_str(s),
+                default=default,
+            )
+        else:
+            continue  # non-scalar fields are not CLI-exposed
+
+
+def _num_or_str(s: str) -> Any:
+    try:
+        return float(s) if "." in s or "e" in s.lower() else int(s)
+    except ValueError:
+        return s
+
+
+def config_from_args(args: argparse.Namespace, cls):
+    field_names = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {k: v for k, v in vars(args).items() if k in field_names}
+    return cls(**kwargs)
+
+
+def write_metrics_out(path: str | None, objective: float) -> None:
+    if path:
+        with open(path, "w") as f:
+            json.dump({"objective": float(objective)}, f)
+
+
+def make_writer(args: argparse.Namespace):
+    """--logdir → JsonlWriter (+TensorBoard with --tensorboard)."""
+    if not getattr(args, "logdir", None):
+        return None
+    from ..utils import JsonlWriter, MultiWriter, TensorBoardWriter
+
+    writers = [JsonlWriter(args.logdir, params=vars(args))]
+    if getattr(args, "tensorboard", False):
+        writers.append(TensorBoardWriter(args.logdir))
+    return MultiWriter(*writers) if len(writers) > 1 else writers[0]

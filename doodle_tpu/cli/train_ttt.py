@@ -1,0 +1,36 @@
+"""TTT trainer CLI (parity: ``train_with_env_com_trunc_advantage_ttt.py``
+``__main__``, ``:787-862``).
+
+    python -m doodle_tpu.cli.train_ttt --truncate_every 4 \
+        --fine_enabled test --fine_steps_per_t 10 --extra_steps 4
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..train import TTTConfig, ttt_train_and_eval
+from ._common import add_dataclass_args, config_from_args, make_writer, write_metrics_out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_dataclass_args(p, TTTConfig)
+    p.add_argument("--logdir", type=str, default=None)
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--metrics_out", type=str, default=None)
+    return p
+
+
+def main(argv=None) -> float:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args, TTTConfig)
+    writer = make_writer(args)
+    best = ttt_train_and_eval(cfg, writer=writer)
+    write_metrics_out(args.metrics_out, best)
+    print(f"best_test_mse: {best}")
+    return best
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,13 @@ class EnvConfig:
     # behavior and make it explicit:
     field_init_noise: float = 0.01
     precision: str = "highest"
+    # Action parameterization: "normals" (direct [B, N*3] mirror normals,
+    # the current-generation env) or "angles" ([B, N*2] East/Up rotations
+    # applied to north-pointing dummy normals — the angular variant,
+    # ``newenv/test_environment_angular.py:204-213``; the values feed
+    # ``rotate_mrad_eu`` directly, i.e. they are in mrad like the error
+    # tensors, reproducing the reference's unit convention).
+    action_space: str = "normals"
 
     def field_config(self, error_scale_mrad: float) -> FieldConfig:
         return FieldConfig(
@@ -235,7 +242,14 @@ def step(
     """
     B = cfg.batch_size
     N = scene.num_heliostats
-    normals = jnp.asarray(action, jnp.float32).reshape(B, N, 3)
+    action = jnp.asarray(action, jnp.float32)
+    if cfg.action_space == "angles":
+        from ..ops.optics import rotate_mrad_eu
+
+        north = jnp.zeros((B, N, 3), jnp.float32).at[..., 1].set(1.0)
+        normals = rotate_mrad_eu(north, action.reshape(B, N, 2))
+    else:
+        normals = action.reshape(B, N, 3)
 
     img, actual, refl = render(
         scene,
@@ -323,7 +337,8 @@ class HelioEnv:
             import numpy as np
 
             n = scene.num_heliostats
-            self.action_space = _spaces.Box(-1.0, 1.0, (n * 3,), np.float32)
+            act_dim = n * 2 if cfg.action_space == "angles" else n * 3
+            self.action_space = _spaces.Box(-1.0, 1.0, (act_dim,), np.float32)
             self.observation_space = _spaces.Dict(
                 {
                     "img": _spaces.Box(

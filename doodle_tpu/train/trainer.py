@@ -93,6 +93,11 @@ class TrainConfig:
     # pretrain→warmup→blend schedule.
     alignment_always: bool = False
     precision: str = "default"
+    # Checkpoint/resume (new capability — the reference never persists model
+    # state, SURVEY §5): save (params, opt_state, step, lr) every
+    # checkpoint_every steps and resume from the latest on restart.
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 500
 
 
 class PlateauTracker:
@@ -260,10 +265,18 @@ def train_and_eval(
         (loss, (parts, results)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        grad_norm = optax.global_norm(grads)
+        # Per-parameter mean grads for observability (the reference logs
+        # these via hooks + writer, train_with_env.py:440-445).
+        grad_means = {
+            jax.tree_util.keystr(path): jnp.mean(g)
+            for path, g in jax.tree_util.tree_leaves_with_path(grads)
+        }
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         new_states = results.env_state
-        return params, opt_state, new_states, loss, parts, results
+        return (params, opt_state, new_states, loss, parts, results,
+                grad_norm, grad_means)
 
     @jax.jit
     def eval_step(params, state, key):
@@ -299,11 +312,33 @@ def train_and_eval(
     pretrain = cfg.alignment_pretrain_steps
     run_key = k_run
     t_start = time.time()
+    start_step = 0
 
-    for step_i in range(cfg.steps + pretrain):
+    if cfg.checkpoint_dir:
+        import pathlib
+
+        from ..utils.checkpoint import restore_checkpoint
+
+        latest = pathlib.Path(cfg.checkpoint_dir) / "latest"
+        if latest.exists():
+            ck = restore_checkpoint(
+                str(latest),
+                target={"params": params, "opt_state": opt_state,
+                        "step": jnp.asarray(0), "lr": jnp.asarray(0.0)},
+            )
+            params, opt_state = ck["params"], ck["opt_state"]
+            start_step = int(ck["step"]) + 1
+            lr = float(ck["lr"])
+            sched_count = max(
+                0, cfg.num_batches * start_step - cfg.warmup_steps - pretrain
+            )
+            print(f"resumed from {latest} at step {start_step}")
+
+    for step_i in range(start_step, cfg.steps + pretrain):
         run_key, k_step, k_eval = jax.random.split(run_key, 3)
         weights = _loss_weights(cfg, cfg.num_batches * step_i, last_bound)
-        params, opt_state, train_states, loss, parts, results = train_step(
+        (params, opt_state, train_states, loss, parts, results,
+         grad_norm, grad_means) = train_step(
             params, opt_state, train_states, k_step, jnp.asarray(weights)
         )
 
@@ -327,6 +362,10 @@ def train_and_eval(
             writer.add_scalar("loss/dist", float(parts["dist"]), step_i)
             writer.add_scalar("loss/bound", last_bound, step_i)
             writer.add_scalar("hyperparams/lr", lr, step_i)
+            writer.add_scalar("gradients/global_norm", float(grad_norm), step_i)
+            if step_i % cfg.eval_every == 0:
+                for name, gm in grad_means.items():
+                    writer.add_scalar(f"gradients/{name}", float(gm), step_i)
 
         if monitor_cb is not None and (step_i % 50 == 0 or step_i == cfg.steps - 1):
             mon0 = jax.tree.map(lambda x: np.asarray(x[0]), results.monitor)
@@ -364,6 +403,20 @@ def train_and_eval(
                         (imgs - float(train_states.ref_min[0])) / rng_,
                         step_i,
                     )
+
+        if cfg.checkpoint_dir and (
+            (step_i + 1) % cfg.checkpoint_every == 0
+            or step_i == cfg.steps + pretrain - 1
+        ):
+            import pathlib
+
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                str(pathlib.Path(cfg.checkpoint_dir) / "latest"),
+                {"params": params, "opt_state": opt_state,
+                 "step": jnp.asarray(step_i), "lr": jnp.asarray(lr)},
+            )
 
         if progress_cb is not None:
             progress_cb(

@@ -1,0 +1,75 @@
+"""CLI + checkpoint tests: arg parsing, metrics_out contract, tiny in-process
+train run via the CLI, trainer checkpoint/resume."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from doodle_tpu.cli import train as cli_train
+from doodle_tpu.cli._common import add_dataclass_args, config_from_args
+from doodle_tpu.train import TrainConfig, train_and_eval
+
+
+def test_parser_covers_reference_flags():
+    p = cli_train.build_parser()
+    args = p.parse_args([
+        "--num_heliostats", "5", "--steps", "2", "--T", "2", "--k", "2",
+        "--architecture", "mlp", "--scheduler", "cyclic",
+        "--use_error_mask", "true", "--error_mask_ratio", "0.3",
+        "--grad_clip", "1e-7", "--azimuth", "none",
+    ])
+    cfg = config_from_args(args, TrainConfig)
+    assert cfg.num_heliostats == 5
+    assert cfg.architecture == "mlp"
+    assert cfg.use_error_mask is True
+    assert cfg.error_mask_ratio == 0.3
+    assert cfg.azimuth is None
+
+
+def test_bool_flag_false_strings():
+    p = cli_train.build_parser()
+    args = p.parse_args(["--use_error_mask", "false"])
+    assert args.use_error_mask is False
+
+
+def test_cli_train_tiny_and_metrics_out(tmp_path):
+    out = tmp_path / "m.json"
+    best = cli_train.main([
+        "--num_heliostats", "4", "--batch_size", "3", "--steps", "2",
+        "--T", "2", "--k", "2", "--resolution", "16",
+        "--sigma_scale", "0.1", "--error_scale_mrad", "30",
+        "--alignment_pretrain_steps", "1", "--warmup_steps", "0",
+        "--grad_clip", "1.0", "--scheduler", "none",
+        "--eval_every", "2", "--log_every", "100", "--test_size", "3",
+        "--dropout", "0.0",
+        "--metrics_out", str(out),
+        "--logdir", str(tmp_path / "logs"),
+    ])
+    assert np.isfinite(best)
+    assert json.loads(out.read_text())["objective"] == pytest.approx(best)
+    assert (tmp_path / "logs" / "metrics.jsonl").exists()
+
+
+def test_checkpoint_resume(tmp_path):
+    base = dict(
+        num_heliostats=4, batch_size=3, steps=2, T=2, k=2, resolution=16,
+        sigma_scale=0.1, error_scale_mrad=30.0,
+        alignment_pretrain_steps=0, warmup_steps=0,
+        lr=1e-3, grad_clip=1.0, scheduler="none", eval_every=2,
+        log_every=100, test_size=3, dropout=0.0,
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=2,
+    )
+    steps_seen = []
+    train_and_eval(TrainConfig(**base),
+                   progress_cb=lambda i, m: steps_seen.append(i))
+    assert steps_seen == [0, 1]
+    assert (tmp_path / "ck" / "latest").exists()
+
+    # Extend the run: resume restarts after the last checkpointed step.
+    steps_resumed = []
+    train_and_eval(TrainConfig(**{**base, "steps": 4}),
+                   progress_cb=lambda i, m: steps_resumed.append(i))
+    assert steps_resumed[0] == 2
+    assert steps_resumed[-1] == 3
