@@ -5,16 +5,22 @@ reference's env loop — at the two BASELINE configs:
   * N=50 heliostats, 128² flux, B=25 suns  (config 2)
   * N=500, 256², B=128, worst-k% masking   (config 4)
 
-One env-step = one full render + all losses (mse/dist/bound/alignment) for a
-batch of B suns, counted as B env-steps (the reference's "env batch" is its
-scale axis, SURVEY §0). Prints ONE JSON line with the primary (N=500) metric.
+One env-step = one full render + all losses (mse/dist/bound/alignment) for
+one sun; a batch step counts as B env-steps (the reference's "env batch" is
+its scale axis, SURVEY §0).
+
+Two rates are reported:
+  * device rate — steps fused into one XLA program (``lax.fori_loop``),
+    which is how training rollouts actually execute (``lax.scan``); this is
+    the primary metric;
+  * dispatch rate — one jitted call per step from Python, which includes
+    the host→TPU dispatch round-trip (the interactive-use floor).
 
 ``vs_baseline``: the PyTorch reference publishes no numbers (BASELINE.md);
-we report the ratio against the reference implementation run on this
-machine's CPU (measured 2026-08-17, BASELINE.md "measured" table). The
-driver north star of ≥5× an A100 remains the stronger standing target —
-even granting the A100 a generous 1000× over this CPU baseline, the N=500
-number below clears it.
+we report the ratio against the reference implementation measured on this
+machine's CPU (2026-08-17, BASELINE.md "measured" table). The driver north
+star of ≥5× an A100 remains the stronger standing target — even granting
+the A100 a generous 1000× over this CPU baseline, the N=500 number clears it.
 """
 
 from __future__ import annotations
@@ -33,8 +39,8 @@ import numpy as np
 TORCH_CPU_BASELINE = {"n50": 41.5, "n500": 0.118}
 
 
-def bench_env_steps(num_heliostats, resolution, batch_size, use_error_mask,
-                    iters=50, precision="default"):
+def _setup(num_heliostats, resolution, batch_size, use_error_mask,
+           splat_backend="xla"):
     from doodle_tpu.core.scene import make_scene
     from doodle_tpu.env import env as env_lib
     from doodle_tpu.ops.optics import normalize
@@ -50,41 +56,77 @@ def bench_env_steps(num_heliostats, resolution, batch_size, use_error_mask,
         sigma_scale=0.1,
         error_scale_mrad=90.0,
         use_error_mask=use_error_mask,
-        precision=precision,
+        precision="default",
+        splat_backend=splat_backend,
     )
     state = env_lib.init_state(scene, cfg, k_env)
     action = normalize(
         state.ideal_normals
         + 0.01 * jax.random.normal(k_act, state.ideal_normals.shape)
     )
+    return scene, cfg, state, action
 
+
+def bench_device_rate(num_heliostats, resolution, batch_size, use_error_mask,
+                      reps=100, splat_backend="xla"):
+    """Fused rate: `reps` env steps inside one jitted fori_loop."""
+    from doodle_tpu.env import env as env_lib
+
+    scene, cfg, state, action = _setup(
+        num_heliostats, resolution, batch_size, use_error_mask, splat_backend
+    )
+
+    @jax.jit
+    def loop(a):
+        def body(i, acc):
+            _, metrics, _ = env_lib.step(scene, cfg, state, a + 0e-9 * acc)
+            return acc + metrics["mse"]
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    out = loop(action)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    out = loop(action)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return batch_size / dt, dt
+
+
+def bench_dispatch_rate(num_heliostats, resolution, batch_size,
+                        use_error_mask, iters=50, splat_backend="xla"):
+    """Per-call rate including host dispatch (one jit call per step)."""
+    from doodle_tpu.env import env as env_lib
+
+    scene, cfg, state, action = _setup(
+        num_heliostats, resolution, batch_size, use_error_mask, splat_backend
+    )
     step = jax.jit(env_lib.step, static_argnames=("cfg",))
-    obs, metrics, _ = step(scene, cfg, state, action)   # compile
+    _, metrics, _ = step(scene, cfg, state, action)
     jax.block_until_ready(metrics["mse"])
-
     t0 = time.perf_counter()
     for _ in range(iters):
-        obs, metrics, _ = step(scene, cfg, state, action)
+        _, metrics, _ = step(scene, cfg, state, action)
     jax.block_until_ready(metrics["mse"])
-    dt = time.perf_counter() - t0
-    env_steps_per_s = iters * batch_size / dt
-    return env_steps_per_s, dt / iters
+    dt = (time.perf_counter() - t0) / iters
+    return batch_size / dt, dt
 
 
 def main():
     dev = jax.devices()[0]
-    small_sps, small_ms = bench_env_steps(50, 128, 25, False)
-    big_sps, big_ms = bench_env_steps(500, 256, 128, True, iters=20)
+    small_dev, small_dt = bench_device_rate(50, 128, 25, False)
+    big_dev, big_dt = bench_device_rate(500, 256, 128, True)
+    big_disp, _ = bench_dispatch_rate(500, 256, 128, True, iters=30)
 
     result = {
         "metric": "env_steps_per_s_per_chip_n500_res256",
-        "value": round(big_sps, 1),
+        "value": round(big_dev, 1),
         "unit": "env-steps/s/chip",
-        "vs_baseline": round(big_sps / TORCH_CPU_BASELINE["n500"], 1),
+        "vs_baseline": round(big_dev / TORCH_CPU_BASELINE["n500"], 1),
         "extra": {
-            "n50_res128_b25": round(small_sps, 1),
-            "n50_step_ms": round(small_ms * 1e3, 3),
-            "n500_step_ms": round(big_ms * 1e3, 3),
+            "n50_res128_b25_device": round(small_dev, 1),
+            "n500_dispatch_rate": round(big_disp, 1),
+            "n50_step_ms": round(small_dt * 1e3, 3),
+            "n500_step_ms": round(big_dt * 1e3, 3),
             "device": str(dev),
         },
     }

@@ -83,19 +83,28 @@ def render(
         origins, refl_unit, scene.target_pos, scene.target_normal
     )
 
-    fx, fy = splat_factors(
-        inter,
-        origins,
-        scene.target_pos,
-        scene.plane_u,
-        scene.plane_v,
-        cfg.target_width,
-        cfg.target_height,
-        cfg.resolution,
-        cfg.sigma_scale,
-        valid,
-    )
-    images = splat_image(fx, fy, precision=cfg.precision)     # [B, res, res]
+    if cfg.splat_backend == "pallas":
+        from ..ops.splat_pallas import splat_summed_pallas
+
+        images = splat_summed_pallas(
+            inter, origins, scene.target_pos, scene.plane_u, scene.plane_v,
+            cfg.target_width, cfg.target_height, cfg.resolution,
+            cfg.sigma_scale, valid, precision=cfg.precision,
+        )
+    else:
+        fx, fy = splat_factors(
+            inter,
+            origins,
+            scene.target_pos,
+            scene.plane_u,
+            scene.plane_v,
+            cfg.target_width,
+            cfg.target_height,
+            cfg.resolution,
+            cfg.sigma_scale,
+            valid,
+        )
+        images = splat_image(fx, fy, precision=cfg.precision)  # [B, res, res]
     return images, actual, refl_unit
 
 

@@ -241,6 +241,11 @@ class TTTConfig(TrainConfig):
     fine_init_eps: float = 1e-4
     detach_input: bool = False
     extra_steps: int = 0            # test rollouts run T + extra_steps
+    # Diagnostics dumps at each eval (ref :669-695,719-748): per-timestep
+    # flux heatmap PNGs under <dump_dir>/step_<s>/idx_<i>/t_<t>.png and
+    # per-element alignment errors as .npy. None disables.
+    dump_dir: str | None = None
+    dump_max_imgs: int = 4          # batch elements per dump
     deg_diff: float = 4.0           # sun-curriculum azimuth spacing
     max_deg_elevation: float = 18.0 # triangle-wave elevation amplitude
     discard_first: int = 2          # envs excluded from the interpolation avg
@@ -398,6 +403,8 @@ def ttt_train_and_eval(
         params = optax.apply_updates(params, updates)
         return params, opt_state, new_states, loss, parts
 
+    collect = cfg.dump_dir is not None
+
     @jax.jit
     def eval_step(params, state, key):
         res = ttt_rollout(
@@ -413,8 +420,9 @@ def ttt_train_and_eval(
             fine_init_eps=cfg.fine_init_eps,
             test_time=True,
             deterministic=True,
+            collect_imgs=collect,
         )
-        return res.losses, res.mse_over_t
+        return res.losses, res.mse_over_t, res.imgs_over_t, res.monitor
 
     @jax.jit
     def eval_step_interp(params, state, key):
@@ -433,6 +441,26 @@ def ttt_train_and_eval(
             deterministic=True,
         )
         return res.losses, res.mse_over_t
+
+    def _dump_eval(step_i, imgs_over_t, monitor):
+        """Flux-heatmap PNGs + alignment-error .npy (ref :669-695)."""
+        import pathlib
+
+        from PIL import Image
+
+        base = pathlib.Path(cfg.dump_dir) / f"step_{step_i}"
+        imgs = np.asarray(imgs_over_t)                 # [T, B, res, res]
+        hi = max(float(imgs.max()), 1e-6)
+        for i in range(min(cfg.dump_max_imgs, imgs.shape[1])):
+            d = base / f"idx_{i}"
+            d.mkdir(parents=True, exist_ok=True)
+            for t in range(imgs.shape[0]):
+                arr = np.clip(imgs[t, i] / hi, 0.0, 1.0)
+                Image.fromarray((arr * 255).astype(np.uint8)).save(
+                    d / f"t_{t}.png"
+                )
+        np.save(base / "alignment_errors.npy",
+                np.asarray(monitor["alignment_errors"]))
 
     plateau = PlateauTracker(cfg.lr, cfg.scheduler_patience, cfg.scheduler_factor)
     cyc = cyclic_lr(1e-5, cfg.lr, cfg.step_size_up, cfg.step_size_down,
@@ -491,8 +519,10 @@ def ttt_train_and_eval(
             )
 
         if step_i % cfg.eval_every == 0 or step_i == cfg.steps - 1:
-            ex_losses, _ = eval_step(params, test_state_ex, k_ev)
+            ex_losses, _, ex_imgs, ex_mon = eval_step(params, test_state_ex, k_ev)
             in_losses, _ = eval_step_interp(params, test_state_in, k_ev)
+            if collect:
+                _dump_eval(step_i, ex_imgs, ex_mon)
             test_mse = float(ex_losses["mse"])
             last_mse = test_mse
             best_mse = test_mse if best_mse is None else min(best_mse, test_mse)

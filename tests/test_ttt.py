@@ -133,6 +133,24 @@ def test_curriculum_angles():
     assert interp[0] == pytest.approx(np.mean([angles[2][0], angles[3][0]]))
 
 
+def test_ttt_train_and_eval_dumps(tiny, tmp_path):
+    scene, *_ = tiny
+    cfg = TTTConfig(
+        num_heliostats=5, batch_size=3, num_batches=2, steps=2, T=2, k=2,
+        resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+        alignment_pretrain_steps=0, warmup_steps=0,
+        lr=1e-3, grad_clip=1.0, scheduler="none", eval_every=2,
+        log_every=100, test_size=3, dropout=0.0,
+        truncate_every=None, fine_enabled="none",
+        dump_dir=str(tmp_path / "dumps"), dump_max_imgs=2,
+    )
+    ttt_train_and_eval(cfg, scene=scene)
+    step0 = tmp_path / "dumps" / "step_0"
+    assert (step0 / "idx_0" / "t_0.png").exists()
+    assert (step0 / "idx_1" / "t_1.png").exists()
+    assert (step0 / "alignment_errors.npy").exists()
+
+
 def test_ttt_train_and_eval_tiny(tiny):
     scene, *_ = tiny
     cfg = TTTConfig(
