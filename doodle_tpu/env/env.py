@@ -44,7 +44,8 @@ from ..core.scene import FieldConfig, Scene
 from ..ops.edt import distance_maps as make_distance_maps
 from ..ops.optics import ideal_normals as _ideal_normals
 from ..ops.optics import normalize
-from .losses import angles_mrad, boundary, flux_metrics
+from ..ops.optics import ray_plane_intersect
+from .losses import angles_mrad, boundary, flux_metrics, spillage
 from .sun import sample_sun_positions
 
 __all__ = ["EnvConfig", "EnvState", "init_state", "set_sun_pos", "reset", "step", "HelioEnv"]
@@ -293,6 +294,19 @@ def step(
         "bound": bound,
         "alignment_loss": core["alignment_loss"],
     }
+    # Spillage accounting from the true reflected-ray intersections (the
+    # older generations' show_spillage capability, SURVEY §2.9).
+    origins = jnp.broadcast_to(
+        scene.heliostat_pos[None], (B, N, 3)
+    )
+    inter, _ = ray_plane_intersect(
+        origins, refl, scene.target_pos, scene.target_normal
+    )
+    spill_mask, spill_count = spillage(
+        inter, scene.target_pos, scene.plane_u, scene.plane_v,
+        cfg.target_width, cfg.target_height,
+    )
+
     obs = {"img": img, "aux": aux}
     monitor = {
         "normals": normals,
@@ -301,6 +315,8 @@ def step(
         "all_bounds": all_bounds,
         "mae_image": core["mae_image"],
         "alignment_errors": jax.lax.stop_gradient(core["alignment_errors"]),
+        "spillage_mask": spill_mask,
+        "spillage_count": spill_count,
     }
     return obs, metrics, monitor
 

@@ -26,6 +26,7 @@ __all__ = [
     "angles_mrad",
     "alignment_loss_cheap",
     "flux_metrics",
+    "spillage",
 ]
 
 
@@ -95,6 +96,30 @@ def alignment_loss_cheap(v1: jax.Array, v2: jax.Array) -> jax.Array:
     """(1 − cosine) × 1000 — the reference's cheap alignment alternative
     (``losses/alignment_loss.py:5-18``)."""
     return (1.0 - jnp.sum(v1 * v2, axis=-1)) * 1000.0
+
+
+def spillage(
+    intersections: jax.Array,   # [..., 3] ray/plane intersection points
+    plane_origin: jax.Array,    # [3]
+    plane_u: jax.Array,         # [3]
+    plane_v: jax.Array,         # [3]
+    width: float,
+    height: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Spillage accounting from true ray/plane intersections.
+
+    The older reference generations count rays whose intersection projects
+    outside the target box (``newenv/newenv_rl_test_vec.py:213-218``,
+    ``newenv/newenv_rl_test_loops.py:91-101``). Returns
+    ``(mask [...], count)`` — the boolean per-ray mask and the total count
+    over all leading axes. jit-able; the count is a traced scalar rather
+    than the reference's host int.
+    """
+    rel = intersections - plane_origin
+    pu = jnp.sum(rel * plane_u, axis=-1) / jnp.sum(plane_u * plane_u)
+    pv = jnp.sum(rel * plane_v, axis=-1) / jnp.sum(plane_v * plane_v)
+    mask = (jnp.abs(pu) > width / 2.0) | (jnp.abs(pv) > height / 2.0)
+    return mask, jnp.sum(mask)
 
 
 def flux_metrics(

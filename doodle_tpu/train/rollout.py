@@ -81,6 +81,8 @@ def rollout(
         "all_bounds": jnp.zeros((B, scene.num_heliostats), img.dtype),
         "mae_image": jnp.zeros((B, 1), img.dtype),
         "alignment_errors": jnp.zeros((B * scene.num_heliostats,), img.dtype),
+        "spillage_mask": jnp.zeros((B, scene.num_heliostats), bool),
+        "spillage_count": jnp.zeros((), jnp.int32),
     }
     zero_losses = {
         "mse": jnp.zeros((), img.dtype),

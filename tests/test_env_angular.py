@@ -67,3 +67,26 @@ def test_angular_gym_space(setup):
     scene, cfg, _ = setup
     env = env_lib.HelioEnv(scene, cfg, jax.random.PRNGKey(0))
     assert env.action_space.shape == (10,)
+
+
+def test_spillage_monitor(setup):
+    from doodle_tpu.env.losses import spillage
+    import jax.numpy as jnp
+
+    scene, cfg, state = setup
+    import dataclasses
+    ncfg = dataclasses.replace(cfg, action_space="normals")
+    # ideal normals → no spillage; badly tilted normals → spillage
+    obs, m, mon = env_lib.step(scene, ncfg, state,
+                               state.ideal_normals.reshape(3, -1))
+    assert "spillage_count" in mon and "spillage_mask" in mon
+    tilted = jnp.zeros((3, 5, 3)).at[..., 2].set(1.0)  # straight up
+    _, _, mon2 = env_lib.step(scene, ncfg, state, tilted.reshape(3, -1))
+    assert int(mon2["spillage_count"]) > int(mon["spillage_count"])
+    # direct function: point inside vs outside the box
+    inside = jnp.array([[0.0, -5.0, 0.0]])
+    outside = jnp.array([[100.0, -5.0, 0.0]])
+    mask, cnt = spillage(jnp.stack([inside, outside], 0),
+                         scene.target_pos, scene.plane_u, scene.plane_v,
+                         15.0, 15.0)
+    assert not bool(mask[0, 0]) and bool(mask[1, 0]) and int(cnt) == 1

@@ -126,3 +126,41 @@ def test_sharded_train_step_matches_unsharded(scene8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     # The sharded step really ran on 8 devices
     assert len(loss1.devices()) == 8 or loss1.sharding.is_fully_replicated
+
+
+def test_sharded_transformer_large_field():
+    """BASELINE config 5 shape: transformer-head policy, large heliostat
+    count, env batch sharded over all 8 devices (scaled down for CI)."""
+    N, RES, B = 64, 32, 8
+    pos = np.stack([
+        np.linspace(-50, 50, N), np.full(N, 80.0), np.zeros(N)
+    ], axis=1)
+    scene = make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+    cfg = env_lib.EnvConfig(
+        resolution=RES, batch_size=B, sigma_scale=0.01, error_scale_mrad=90.0
+    )
+    state = env_lib.init_state(scene, cfg, jax.random.PRNGKey(0))
+    policy = PolicyNet(
+        num_heliostats=N, enc_dim=32, architecture="transformer",
+        transformer_layers=1, transformer_heads=4, transformer_ff=64,
+        dropout=0.0,
+    )
+    img = jnp.zeros((B, 2, RES, RES))
+    aux = jnp.zeros((B, 3 + N * 3))
+    params = policy.init(jax.random.PRNGKey(1), img, aux, policy.init_carry(B))
+    opt = optax.adam(1e-3)
+    mesh = make_mesh(8)
+    step = make_sharded_train_step(
+        policy, scene, cfg, opt, mesh, k=2, T=2, deterministic=True
+    )
+    s_state = shard_env_state(mesh, state)
+    p, o, st, loss, parts = step(
+        params, opt.init(params), s_state, jax.random.PRNGKey(2),
+        jnp.array([1.0, 0.0, 0.0, 0.0]),
+    )
+    assert np.isfinite(float(loss))
+    moved = any(
+        float(jnp.abs(a - b).max()) > 0
+        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(params))
+    )
+    assert moved
