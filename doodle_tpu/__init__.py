@@ -40,13 +40,23 @@ import os as _os
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     import jax as _jax
 
-    try:
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.path.expanduser("~/.cache/doodle_tpu_xla"),
-        )
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:  # pragma: no cover - older jax without the flags
-        pass
+    # Only for accelerator backends: CPU AOT cache entries encode host CPU
+    # features and can SIGILL when replayed on a host with different
+    # features (observed with this image's XLA:CPU), and CPU compiles are
+    # fast anyway.
+    _plat = (
+        _jax.config.jax_platforms or _os.environ.get("JAX_PLATFORMS") or ""
+    )
+    if "cpu" not in _plat.lower():
+        try:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/doodle_tpu_xla"),
+            )
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 5.0
+            )
+        except Exception:  # pragma: no cover - older jax without the flags
+            pass
 
 from . import core, env, hpo, models, ops, optim, parallel, train, utils  # noqa: F401

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -69,12 +70,14 @@ def make_sharded_train_step(
                 deterministic=deterministic, remat=remat,
             )
             parts = res.losses
-            total = (
-                weights[0] * parts["alignment_loss"]
-                + weights[1] * parts["bound"]
-                + weights[2] * parts["mse"]
-                + weights[3] * parts["dist"]
-            )
+            # where-guarded so a zero weight truly drops its term: with
+            # exponential_risk the bound can overflow to inf, and 0 * inf
+            # would otherwise poison the whole loss with NaN.
+            terms = jnp.stack([
+                parts["alignment_loss"], parts["bound"],
+                parts["mse"], parts["dist"],
+            ])
+            total = jnp.sum(jnp.where(weights != 0, weights * terms, 0.0))
             return total, (parts, res.env_state)
 
         (loss, (parts, new_state)), grads = jax.value_and_grad(

@@ -83,6 +83,9 @@ class TrainConfig:
     sigma_scale: float = 0.01        # trainer passes 0.01 (ref :241)
     azimuth: float | None = 45.0
     elevation: float | None = 45.0
+    half_angle_deg: float = 2.0
+    single_sun: bool = False
+    exponential_risk: bool = False
     test_size: int = 60
     eval_every: int = 100
     log_every: int = 25
@@ -191,6 +194,9 @@ def train_and_eval(
         error_mask_ratio=cfg.error_mask_ratio,
         azimuth=cfg.azimuth,
         elevation=cfg.elevation,
+        half_angle_deg=cfg.half_angle_deg,
+        single_sun=cfg.single_sun,
+        exponential_risk=cfg.exponential_risk,
         precision=cfg.precision,
     )
 
@@ -254,12 +260,14 @@ def train_and_eval(
                 )
             )(states, keys)
             parts = jax.tree.map(jnp.mean, results.losses)   # mean over envs
-            total = (
-                weights[0] * parts["alignment_loss"]
-                + weights[1] * parts["bound"]
-                + weights[2] * parts["mse"]
-                + weights[3] * parts["dist"]
-            )
+            # where-guarded so a zero weight truly drops its term: with
+            # exponential_risk the bound can overflow to inf, and 0 * inf
+            # would otherwise poison the whole loss with NaN.
+            terms = jnp.stack([
+                parts["alignment_loss"], parts["bound"],
+                parts["mse"], parts["dist"],
+            ])
+            total = jnp.sum(jnp.where(weights != 0, weights * terms, 0.0))
             return total, (parts, results)
 
         (loss, (parts, results)), grads = jax.value_and_grad(

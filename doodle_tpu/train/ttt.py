@@ -388,12 +388,14 @@ def ttt_train_and_eval(
                 )
             )(states, keys)
             parts = jax.tree.map(jnp.mean, results.losses)
-            total = (
-                weights[0] * parts["alignment_loss"]
-                + weights[1] * parts["bound"]
-                + weights[2] * parts["mse"]
-                + weights[3] * parts["dist"]
-            )
+            # where-guarded so a zero weight truly drops its term: with
+            # exponential_risk the bound can overflow to inf, and 0 * inf
+            # would otherwise poison the whole loss with NaN.
+            terms = jnp.stack([
+                parts["alignment_loss"], parts["bound"],
+                parts["mse"], parts["dist"],
+            ])
+            total = jnp.sum(jnp.where(weights != 0, weights * terms, 0.0))
             return total, (parts, results.env_state)
 
         (loss, (parts, new_states)), grads = jax.value_and_grad(
