@@ -32,18 +32,25 @@ class CNNEncoder(nn.Module):
     out_dim: int = 128
     dropout: float = 0.1
     features: tuple[int, ...] = (32, 64, 128)
+    # Compute dtype for the conv stack (params stay f32). bfloat16 runs the
+    # convs — where ~99% of the policy FLOPs are — at the MXU's fast rate;
+    # the head above operates on the f32-cast pooled features.
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         if x.ndim == 3:
             x = x[..., None]
+        dtype = jnp.dtype(self.dtype) if self.dtype else None
+        if dtype is not None:
+            x = x.astype(dtype)
         for feat in self.features:
-            x = nn.Conv(feat, (5, 5), padding=2)(x)
+            x = nn.Conv(feat, (5, 5), padding=2, dtype=dtype)(x)
             x = nn.gelu(x)
             x = nn.Dropout(self.dropout, broadcast_dims=(1, 2))(
                 x, deterministic=deterministic
             )
-        x = jnp.mean(x, axis=(1, 2))                 # AdaptiveAvgPool2d((1,1))
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))   # AvgPool2d((1,1))
         return nn.gelu(nn.Dense(self.out_dim)(x))
 
 

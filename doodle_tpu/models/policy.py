@@ -107,6 +107,9 @@ class PolicyNet(nn.Module):
     dropout: float = 0.1
     head_hidden: int = 256
     normalize_output: bool = True
+    # Compute dtype for the frame encoder ("bfloat16" ≈ 2-4× conv speed on
+    # the MXU; None = f32). Heads/normals stay f32.
+    encoder_dtype: str | None = None
 
     @nn.compact
     def __call__(
@@ -122,7 +125,8 @@ class PolicyNet(nn.Module):
         B, T = img_seq.shape[:2]
 
         if self.encoder == "cnn":
-            enc_mod = CNNEncoder(out_dim=self.enc_dim, dropout=self.dropout)
+            enc_mod = CNNEncoder(out_dim=self.enc_dim, dropout=self.dropout,
+                                 dtype=self.encoder_dtype)
         elif self.encoder == "com":
             enc_mod = COMEncoder(out_dim=self.enc_dim, dropout=self.dropout)
         else:

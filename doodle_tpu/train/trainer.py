@@ -54,6 +54,7 @@ class TrainConfig:
     grad_clip: float = 1e-7          # reference default — yes, 1e-7
     architecture: str = "lstm"
     encoder: str = "cnn"
+    encoder_dtype: str | None = None   # "bfloat16" for fast MXU convs
     lstm_hid: int = 128
     transformer_layers: int = 2
     transformer_heads: int = 8
@@ -231,6 +232,7 @@ def train_and_eval(
         transformer_layers=cfg.transformer_layers,
         transformer_heads=cfg.transformer_heads,
         dropout=cfg.dropout,
+        encoder_dtype=cfg.encoder_dtype,
     )
     dummy_img = jnp.zeros((cfg.batch_size, cfg.k, cfg.resolution, cfg.resolution))
     dummy_aux = jnp.zeros((cfg.batch_size, 3 + N * 3))

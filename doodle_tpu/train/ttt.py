@@ -348,6 +348,7 @@ def ttt_train_and_eval(
         transformer_layers=cfg.transformer_layers,
         transformer_heads=cfg.transformer_heads,
         dropout=cfg.dropout,
+        encoder_dtype=cfg.encoder_dtype,
         normalize_output=False,     # rollout renormalizes (ref :162)
     )
     dummy_img = jnp.zeros((cfg.batch_size, cfg.k, cfg.resolution, cfg.resolution))
@@ -475,8 +476,29 @@ def ttt_train_and_eval(
     pretrain = cfg.alignment_pretrain_steps
     run_key = k_run
     t_start = time.time()
+    start_step = 0
 
-    for step_i in range(cfg.steps + pretrain):
+    if cfg.checkpoint_dir:
+        import pathlib
+
+        from ..utils.checkpoint import restore_checkpoint
+
+        latest = pathlib.Path(cfg.checkpoint_dir) / "latest"
+        if latest.exists():
+            ck = restore_checkpoint(
+                str(latest),
+                target={"params": params, "opt_state": opt_state,
+                        "step": jnp.asarray(0), "lr": jnp.asarray(0.0)},
+            )
+            params, opt_state = ck["params"], ck["opt_state"]
+            start_step = int(ck["step"]) + 1
+            lr = float(ck["lr"])
+            sched_count = max(
+                0, cfg.num_batches * start_step - cfg.warmup_steps - pretrain
+            )
+            print(f"resumed from {latest} at step {start_step}")
+
+    for step_i in range(start_step, cfg.steps + pretrain):
         run_key, k_step, k_ev = jax.random.split(run_key, 3)
         weights = _loss_weights(cfg, cfg.num_batches * step_i, last_bound)
         params, opt_state, train_states, loss, parts = train_step(
@@ -537,6 +559,20 @@ def ttt_train_and_eval(
                 writer.add_scalar(
                     "mse/test_interpolation", float(in_losses["mse"]), step_i
                 )
+
+        if cfg.checkpoint_dir and (
+            (step_i + 1) % cfg.checkpoint_every == 0
+            or step_i == cfg.steps + pretrain - 1
+        ):
+            import pathlib
+
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                str(pathlib.Path(cfg.checkpoint_dir) / "latest"),
+                {"params": params, "opt_state": opt_state,
+                 "step": jnp.asarray(step_i), "lr": jnp.asarray(lr)},
+            )
 
         if progress_cb is not None:
             progress_cb(step_i, {"loss": loss_f, "objective": objective,

@@ -163,3 +163,24 @@ def test_ttt_train_and_eval_tiny(tiny):
     )
     best = ttt_train_and_eval(cfg, scene=scene)
     assert best is not None and np.isfinite(best)
+
+
+def test_ttt_checkpoint_resume(tiny, tmp_path):
+    scene, *_ = tiny
+    base = dict(
+        num_heliostats=5, batch_size=3, num_batches=2, steps=2, T=2, k=2,
+        resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+        alignment_pretrain_steps=0, warmup_steps=0,
+        lr=1e-3, grad_clip=1.0, scheduler="none", eval_every=2,
+        log_every=100, test_size=3, dropout=0.0,
+        truncate_every=None, fine_enabled="none",
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=2,
+    )
+    seen = []
+    ttt_train_and_eval(TTTConfig(**base),
+                       progress_cb=lambda i, m: seen.append(i))
+    assert seen == [0, 1]
+    resumed = []
+    ttt_train_and_eval(TTTConfig(**{**base, "steps": 4}),
+                       progress_cb=lambda i, m: resumed.append(i))
+    assert resumed[0] == 2 and resumed[-1] == 3
