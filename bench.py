@@ -40,7 +40,7 @@ TORCH_CPU_BASELINE = {"n50": 41.5, "n500": 0.118}
 
 
 def _setup(num_heliostats, resolution, batch_size, use_error_mask,
-           splat_backend="xla"):
+           splat_backend="auto"):
     from doodle_tpu.core.scene import make_scene
     from doodle_tpu.env import env as env_lib
     from doodle_tpu.ops.optics import normalize
@@ -68,7 +68,7 @@ def _setup(num_heliostats, resolution, batch_size, use_error_mask,
 
 
 def bench_device_rate(num_heliostats, resolution, batch_size, use_error_mask,
-                      reps=100, splat_backend="xla"):
+                      reps=100, splat_backend="auto"):
     """Fused rate: `reps` env steps inside one jitted fori_loop."""
     from doodle_tpu.env import env as env_lib
 
@@ -85,15 +85,21 @@ def bench_device_rate(num_heliostats, resolution, batch_size, use_error_mask,
 
     out = loop(action)
     out.block_until_ready()
-    t0 = time.perf_counter()
-    out = loop(action)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    # Best-of-k: a single timed call (~tens of ms) is at the mercy of
+    # tunnel-latency hiccups on remote-attached TPUs; the min over several
+    # calls is the honest device rate.
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = loop(action)
+        out.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    dt = best / reps
     return batch_size / dt, dt
 
 
 def bench_dispatch_rate(num_heliostats, resolution, batch_size,
-                        use_error_mask, iters=50, splat_backend="xla"):
+                        use_error_mask, iters=50, splat_backend="auto"):
     """Per-call rate including host dispatch (one jit call per step)."""
     from doodle_tpu.env import env as env_lib
 
@@ -103,11 +109,14 @@ def bench_dispatch_rate(num_heliostats, resolution, batch_size,
     step = jax.jit(env_lib.step, static_argnames=("cfg",))
     _, metrics, _ = step(scene, cfg, state, action)
     jax.block_until_ready(metrics["mse"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        _, metrics, _ = step(scene, cfg, state, action)
-    jax.block_until_ready(metrics["mse"])
-    dt = (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _, metrics, _ = step(scene, cfg, state, action)
+        jax.block_until_ready(metrics["mse"])
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
     return batch_size / dt, dt
 
 

@@ -83,7 +83,10 @@ def render(
         origins, refl_unit, scene.target_pos, scene.target_normal
     )
 
-    if cfg.splat_backend == "pallas":
+    backend = cfg.splat_backend
+    if backend == "auto":
+        backend = "pallas" if scene.heliostat_pos.shape[0] >= 256 else "xla"
+    if backend == "pallas":
         from ..ops.splat_pallas import splat_summed_pallas
 
         images = splat_summed_pallas(

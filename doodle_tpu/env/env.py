@@ -76,7 +76,7 @@ class EnvConfig:
     # behavior and make it explicit:
     field_init_noise: float = 0.01
     precision: str = "highest"
-    splat_backend: str = "xla"   # "xla" | "pallas" (see FieldConfig)
+    splat_backend: str = "xla"   # "xla" | "pallas" | "auto" (see FieldConfig)
     # Action parameterization: "normals" (direct [B, N*3] mirror normals,
     # the current-generation env) or "angles" ([B, N*2] East/Up rotations
     # applied to north-pointing dummy normals — the angular variant,

@@ -60,29 +60,32 @@ def splat_params(
 
 def _splat_kernel(a_ref, b_ref, s_ref, c_ref, w_ref, gx_ref, gy_ref, out_ref,
                   *, use_bf16: bool):
-    """One grid step = (image b, heliostat chunk): build the chunk's factor
-    rows in VMEM, contract over the chunk on the MXU, accumulate.
+    """One grid step = (image block, heliostat chunk): build the block's
+    factor tables in VMEM, contract over the chunk with one batched MXU
+    dot, accumulate. Blocking several images per step amortizes the
+    per-grid-step pipeline overhead (with 1 image/step the dot is ~1 µs of
+    MXU work against ~5 µs of step overhead — overhead-bound).
 
     ``use_bf16``: feed the MXU bf16 factor tables (f32 accumulation) — the
     single-pass fast mode for ``precision="default"``; factors are in [0, 1]
     so the 8-bit mantissa costs ~1e-3 relative flux error."""
     chunk = pl.program_id(1)
 
-    a = a_ref[0, 0, :]         # [Nc]
-    bb = b_ref[0, 0, :]
-    s = s_ref[0, 0, :]
-    c = c_ref[0, 0, :]
-    w = w_ref[0, 0, :]         # 0 = padding, 1 = invalid ray, 2 = valid ray
+    a = a_ref[:, 0, :]         # [bs, Nc]
+    bb = b_ref[:, 0, :]
+    s = s_ref[:, 0, :]
+    c = c_ref[:, 0, :]
+    w = w_ref[:, 0, :]         # 0 = padding, 1 = invalid ray, 2 = valid ray
     gx = gx_ref[0, :]          # [res]
     gy = gy_ref[0, :]
 
-    dx2 = (gx[None, :] - a[:, None]) ** 2          # [Nc, res]
-    dy2 = (gy[None, :] - bb[:, None]) ** 2
-    fx = jnp.exp(-(dx2 + c[:, None]) * s[:, None])
-    fy = jnp.exp(-dy2 * s[:, None])
+    dx2 = (gx[None, None, :] - a[..., None]) ** 2  # [bs, Nc, res]
+    dy2 = (gy[None, None, :] - bb[..., None]) ** 2
+    fx = jnp.exp(-(dx2 + c[..., None]) * s[..., None])
+    fy = jnp.exp(-dy2 * s[..., None])
 
-    is_valid = (w[:, None] >= 1.5)
-    keep = (w[:, None] >= 0.5).astype(fx.dtype)
+    is_valid = (w[..., None] >= 1.5)
+    keep = (w[..., None] >= 0.5).astype(fx.dtype)
     # invalid (but real) rays contribute the all-ones image (reference
     # quirk); padding rays contribute zero.
     fx = jnp.where(is_valid, fx, 1.0) * keep
@@ -92,63 +95,85 @@ def _splat_kernel(a_ref, b_ref, s_ref, c_ref, w_ref, gx_ref, gy_ref, out_ref,
         fx = fx.astype(jnp.bfloat16)
         fy = fy.astype(jnp.bfloat16)
     tile = jax.lax.dot_general(
-        fx, fy, (((0,), (0,)), ((), ())),
+        fx, fy, (((1,), (1,)), ((0,), (0,))),      # batch over bs, contract Nc
         preferred_element_type=jnp.float32,
-    )                                               # [res, res]
+        # Without this, f32 inputs still go through single-pass bf16 MXU
+        # multiplies (~2e-3 rel err) — "highest" must mean full-f32 passes
+        # to honor FieldConfig's reference-grade-parity contract.
+        precision=None if use_bf16 else jax.lax.Precision.HIGHEST,
+    )                                               # [bs, res, res]
 
     @pl.when(chunk == 0)
     def _():
-        out_ref[0, :, :] = tile
+        out_ref[:, :, :] = tile
 
     @pl.when(chunk > 0)
     def _():
-        out_ref[0, :, :] = out_ref[0, :, :] + tile
+        out_ref[:, :, :] = out_ref[:, :, :] + tile
 
 
 def _splat_pallas_fwd_impl(
     a, b, inv2s2, c_sq, valid, gx, gy, *, chunk: int = 512,
+    image_block: int = 8, vmem_budget: int = 12 * 2**20,
     use_bf16: bool = False,
 ) -> jax.Array:
     B, N = a.shape
     res = gx.shape[0]
+    # Fixed 512-deep contraction even for small N: a 512-deep MXU pass
+    # amortizes weight loads; shrinking the chunk to the padded-N tile
+    # (128) measured ~1.6x slower at N=50 (0.565 vs 0.351 ms/step).
     n_chunks = pl.cdiv(N, chunk)
     Np = n_chunks * chunk
 
-    def pad(x, fill=0.0):
-        # [B, N] → [B, n_chunks, chunk]: the kernel's chunk axis becomes a
-        # real array axis so block shapes satisfy TPU tiling rules.
-        p = jnp.pad(x, ((0, 0), (0, Np - N)), constant_values=fill)
-        return p.reshape(B, n_chunks, chunk)
+    # Image-block size: as many images per grid step as the VMEM budget
+    # allows (fx + fy + out tile per image), capped at image_block.
+    bytes_per_img = (2 * chunk * res + res * res) * 4
+    bs = max(1, min(image_block, vmem_budget // bytes_per_img))
+    n_blocks = pl.cdiv(B, bs)
+    Bp = n_blocks * bs
 
-    # w: 2 = valid, 1 = invalid-but-real, 0 = padding.
-    w = pad(jnp.where(valid > 0, 2.0, 1.0))
+    def pad(x, fill=0.0):
+        # [B, N] → [Bp, n_chunks, chunk]: chunk/image-block axes become real
+        # array axes so block shapes satisfy TPU tiling rules.
+        p = jnp.pad(
+            x, ((0, Bp - B), (0, Np - N)), constant_values=fill
+        )
+        return p.reshape(Bp, n_chunks, chunk)
+
+    # w: 2 = valid, 1 = invalid-but-real, 0 = padding (covers both the
+    # heliostat padding and whole padded images).
+    w = jnp.where(valid > 0, 2.0, 1.0)
+    w = pad(w)
+    if Bp > B:
+        w = w.at[B:].set(0.0)
     a_p, b_p, s_p, c_p = pad(a), pad(b), pad(inv2s2), pad(c_sq)
 
-    row = lambda i, j: (i, j, 0)  # block index over (B, n_chunks) grid
-    return pl.pallas_call(
+    row = lambda i, j: (i, j, 0)  # block index over (image-block, chunk) grid
+    out = pl.pallas_call(
         functools.partial(_splat_kernel, use_bf16=use_bf16),
-        grid=(B, n_chunks),
+        grid=(n_blocks, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, chunk), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 1, chunk), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 1, chunk), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 1, chunk), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 1, chunk), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 1, chunk), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, res, res), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            (bs, res, res), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, res, res), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, res, res), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * Np * res * res,
-            bytes_accessed=B * Np * 5 * 4 + B * res * res * 4,
-            transcendentals=2 * B * Np * res,
+            flops=2 * Bp * Np * res * res,
+            bytes_accessed=Bp * Np * 5 * 4 + Bp * res * res * 4,
+            transcendentals=2 * Bp * Np * res,
         ),
         # CPU (tests/virtual meshes) runs the kernel in interpreter mode.
         interpret=jax.default_backend() == "cpu",
     )(a_p, b_p, s_p, c_p, w, gx[None, :], gy[None, :])
+    return out[:B]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))

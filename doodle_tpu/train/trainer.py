@@ -97,6 +97,9 @@ class TrainConfig:
     # pretrain→warmup→blend schedule.
     alignment_always: bool = False
     precision: str = "default"
+    # Splat backend for all envs: "auto" picks the fused Pallas kernel for
+    # large fields and the XLA separable path below (see FieldConfig).
+    splat_backend: str = "auto"
     # Checkpoint/resume (new capability — the reference never persists model
     # state, SURVEY §5): save (params, opt_state, step, lr) every
     # checkpoint_every steps and resume from the latest on restart.
@@ -199,6 +202,7 @@ def train_and_eval(
         single_sun=cfg.single_sun,
         exponential_risk=cfg.exponential_risk,
         precision=cfg.precision,
+        splat_backend=cfg.splat_backend,
     )
 
     # ---- stacked train env states sharing env 0's suns (ref :253-256)

@@ -315,6 +315,7 @@ def ttt_train_and_eval(
             azimuth=az,
             elevation=el,
             precision=cfg.precision,
+            splat_backend=cfg.splat_backend,
         )
 
     angles, (ex_az, ex_el), (in_az, in_el) = _curriculum_angles(cfg)

@@ -95,3 +95,21 @@ def test_pallas_jit_and_vmap_compose():
     out = f(args[0])
     assert out.shape == (2, 16, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_render_auto_backend_matches_xla():
+    # "auto" resolves to xla below 256 heliostats and pallas at/above; both
+    # must agree with the xla reference path either way.
+    pos = np.stack(
+        [np.linspace(-10, 10, 6), np.full(6, 80.0), np.zeros(6)], axis=1
+    )
+    scene = make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+    sun = jnp.array([[1000.0, 1000.0, 8000.0]] * 2)
+    normals = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 3))
+    errors = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 2)) * 20.0
+
+    cfg_x = FieldConfig(resolution=32, sigma_scale=0.1, splat_backend="xla")
+    cfg_a = FieldConfig(resolution=32, sigma_scale=0.1, splat_backend="auto")
+    ix, _, _ = render(scene, cfg_x, sun, normals, errors)
+    ia, _, _ = render(scene, cfg_a, sun, normals, errors)
+    np.testing.assert_allclose(np.asarray(ia), np.asarray(ix), rtol=0, atol=0)
