@@ -69,7 +69,8 @@ class FieldConfig:
     precision: str = "highest"
     # Splat backend: "xla" (separable einsum; reference-grade parity and
     # full autodiff fusion), "pallas" (fused VMEM kernel — the factor
-    # tables never hit HBM; backward recomputes through the XLA path), or
+    # tables never hit HBM, forward or backward — the backward is a fused
+    # kernel too, so no [B, N, res] cotangent tables either), or
     # "auto" (pallas for N >= 256 heliostats where its deep-contraction
     # grid wins — measured 201k vs 175k env-steps/s at N=500/256² — and
     # xla below, where XLA's fusion wins — 82k vs 71k at N=50/128²).

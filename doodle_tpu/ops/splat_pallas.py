@@ -5,18 +5,29 @@ The XLA path (``ops/splat.py``) materializes the per-ray factor tables
 ~270 MB of traffic per render at the north-star config, which makes the
 render memory-bound (measured 0.53 ms vs 0.04 ms of pure MXU time).
 
-This kernel fuses table construction and contraction: for each image b (one
-grid step per (b, heliostat-chunk)), a chunk of fx/fy rows is built in VMEM
-straight from the per-ray scalars (a, b, σ, |c|²) and immediately contracted
-on the MXU into the output tile, accumulating across chunks. The tables
-never touch HBM; per-render traffic drops to the [B, N] scalar inputs plus
-one [B, res, res] image write.
+This kernel fuses table construction and contraction: per grid step (one
+per (image-block, heliostat-chunk)), the block's fx/fy tables are built in
+VMEM straight from the per-ray scalars (a, b, σ, |c|²) and immediately
+contracted on the MXU into the output tiles, accumulating across chunks.
+The tables never touch HBM; per-render traffic drops to the [B, N] scalar
+inputs plus one [B, res, res] image write. Measured on one v5e chip at the
+north-star config (N=500, 256², B=128): 0.42 ms vs 0.47 ms for the XLA
+path, lifting the full env step from 175k to 209k env-steps/s.
+
+The backward is a fused kernel with the same structure
+(``_splat_bwd_kernel``): both factor-table cotangents are themselves MXU
+matmuls (``dfx = fy @ gᵀ``, ``dfy = fx @ g``), chained to the per-ray
+scalars elementwise in VMEM — so no ``[B, N, res]`` tables (factor or
+cotangent) are materialized in either direction, which is what buys
+batch-size headroom at large N (XLA's autodiff working set at N=2000,
+B=64 is ~0.5 GB; this kernel's is the [B, res, res] cotangent alone).
+Fwd+bwd wall-clock is at parity with XLA autodiff (2.20 vs 2.18 ms at
+N=2000) — the win is memory, not time.
 
 Numerics match ``splat_factors`` + ``splat_image`` (including the
 reference's invalid-ray ⇒ all-ones-contribution quirk,
-``newenv_rl_test_multi_error.py:140-148``): forward parity is covered by
-tests; the backward pass is a ``custom_vjp`` that recomputes through the
-XLA path (same gradients as today, fused forward speed where it counts).
+``newenv_rl_test_multi_error.py:140-148``): forward and gradient parity
+vs the XLA oracle are covered by tests, on TPU to ~6e-5 relative.
 """
 
 from __future__ import annotations
@@ -71,11 +82,11 @@ def _splat_kernel(a_ref, b_ref, s_ref, c_ref, w_ref, gx_ref, gy_ref, out_ref,
     so the 8-bit mantissa costs ~1e-3 relative flux error."""
     chunk = pl.program_id(1)
 
-    a = a_ref[:, 0, :]         # [bs, Nc]
-    bb = b_ref[:, 0, :]
-    s = s_ref[:, 0, :]
-    c = c_ref[:, 0, :]
-    w = w_ref[:, 0, :]         # 0 = padding, 1 = invalid ray, 2 = valid ray
+    a = a_ref[0, 0]            # [bs, Nc]
+    bb = b_ref[0, 0]
+    s = s_ref[0, 0]
+    c = c_ref[0, 0]
+    w = w_ref[0, 0]            # 0 = padding, 1 = invalid ray, 2 = valid ray
     gx = gx_ref[0, :]          # [res]
     gy = gy_ref[0, :]
 
@@ -133,31 +144,34 @@ def _splat_pallas_fwd_impl(
     Bp = n_blocks * bs
 
     def pad(x, fill=0.0):
-        # [B, N] → [Bp, n_chunks, chunk]: chunk/image-block axes become real
-        # array axes so block shapes satisfy TPU tiling rules.
+        # [B, N] → [n_blocks, n_chunks, bs, chunk]: the block's trailing two
+        # dims (bs, chunk) then EQUAL the array's, which satisfies Mosaic's
+        # tiling rule for any bs (a (bs, 1, chunk) block over a
+        # [Bp, n_chunks, chunk] array is illegal whenever n_chunks > 1 and
+        # bs is not a multiple of 8).
         p = jnp.pad(
             x, ((0, Bp - B), (0, Np - N)), constant_values=fill
         )
-        return p.reshape(Bp, n_chunks, chunk)
+        return p.reshape(n_blocks, bs, n_chunks, chunk).transpose(0, 2, 1, 3)
 
-    # w: 2 = valid, 1 = invalid-but-real, 0 = padding (covers both the
-    # heliostat padding and whole padded images).
-    w = jnp.where(valid > 0, 2.0, 1.0)
-    w = pad(w)
-    if Bp > B:
-        w = w.at[B:].set(0.0)
+    # w: 2 = valid, 1 = invalid-but-real, 0 = padding (the pad fill covers
+    # both the heliostat padding and whole padded images).
+    w = pad(jnp.where(valid > 0, 2.0, 1.0))
     a_p, b_p, s_p, c_p = pad(a), pad(b), pad(inv2s2), pad(c_sq)
 
-    row = lambda i, j: (i, j, 0)  # block index over (image-block, chunk) grid
+    row = lambda i, j: (i, j, 0, 0)  # block index over (image-block, chunk) grid
+    scalar_spec = pl.BlockSpec(
+        (1, 1, bs, chunk), row, memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         functools.partial(_splat_kernel, use_bf16=use_bf16),
         grid=(n_blocks, n_chunks),
         in_specs=[
-            pl.BlockSpec((bs, 1, chunk), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, 1, chunk), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, 1, chunk), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, 1, chunk), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, 1, chunk), row, memory_space=pltpu.VMEM),
+            scalar_spec,
+            scalar_spec,
+            scalar_spec,
+            scalar_spec,
+            scalar_spec,
             pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -174,6 +188,114 @@ def _splat_pallas_fwd_impl(
         interpret=jax.default_backend() == "cpu",
     )(a_p, b_p, s_p, c_p, w, gx[None, :], gy[None, :])
     return out[:B]
+
+
+def _splat_bwd_kernel(a_ref, b_ref, s_ref, c_ref, w_ref, gx_ref, gy_ref,
+                      g_ref, da_ref, db_ref, ds_ref, dc_ref, *,
+                      use_bf16: bool):
+    """Fused backward: recompute the chunk's factor tables in VMEM, turn the
+    upstream image cotangent into factor cotangents with two batched MXU
+    dots (``dfx = fy @ gᵀ``, ``dfy = fx @ g``), and chain to the per-ray
+    scalars elementwise. Nothing but the [B, res, res] cotangent and the
+    [B, N] scalars ever touches HBM."""
+    a = a_ref[0, 0]            # [bs, Nc]
+    bb = b_ref[0, 0]
+    s = s_ref[0, 0]
+    c = c_ref[0, 0]
+    w = w_ref[0, 0]
+    gx = gx_ref[0, :]          # [res]
+    gy = gy_ref[0, :]
+    g = g_ref[:, :, :]         # [bs, res, res] upstream cotangent
+
+    dx = gx[None, None, :] - a[..., None]          # [bs, Nc, res]
+    dy = gy[None, None, :] - bb[..., None]
+    ex = (dx * dx + c[..., None]) * s[..., None]
+    ey = (dy * dy) * s[..., None]
+    fx = jnp.exp(-ex)
+    fy = jnp.exp(-ey)
+
+    cast = (lambda x: x.astype(jnp.bfloat16)) if use_bf16 else (lambda x: x)
+    prec = None if use_bf16 else jax.lax.Precision.HIGHEST
+    # dfx[b,n,i] = Σ_j fy[b,n,j] g[b,i,j] ; dfy[b,n,j] = Σ_i fx[b,n,i] g[b,i,j]
+    dfx = jax.lax.dot_general(
+        cast(fy), cast(g), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dfy = jax.lax.dot_general(
+        cast(fx), cast(g), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    px = dfx * fx
+    py = dfy * fy
+    da = jnp.sum(px * dx, axis=-1) * 2.0 * s
+    db = jnp.sum(py * dy, axis=-1) * 2.0 * s
+    ds = -(jnp.sum(px * (dx * dx + c[..., None]), axis=-1)
+           + jnp.sum(py * (dy * dy), axis=-1))
+    dc = -s * jnp.sum(px, axis=-1)
+
+    # Invalid (constant-ones contribution) and padding rays get zero grads.
+    live = w >= 1.5
+    da_ref[0, 0] = jnp.where(live, da, 0.0)
+    db_ref[0, 0] = jnp.where(live, db, 0.0)
+    ds_ref[0, 0] = jnp.where(live, ds, 0.0)
+    dc_ref[0, 0] = jnp.where(live, dc, 0.0)
+
+
+def _splat_pallas_bwd_impl(
+    a, b, inv2s2, c_sq, valid, gx, gy, g, *, chunk: int = 512,
+    image_block: int = 8, vmem_budget: int = 12 * 2**20,
+    use_bf16: bool = False,
+):
+    B, N = a.shape
+    res = gx.shape[0]
+    n_chunks = pl.cdiv(N, chunk)
+    Np = n_chunks * chunk
+
+    # fx/fy/dfx/dfy + elementwise temps dominate: ~8 chunk×res f32 buffers
+    # per image, plus the res×res cotangent tile.
+    bytes_per_img = (8 * chunk * res + res * res) * 4
+    bs = max(1, min(image_block, vmem_budget // bytes_per_img))
+    n_blocks = pl.cdiv(B, bs)
+    Bp = n_blocks * bs
+
+    def pad(x, fill=0.0):
+        # [B, N] → [n_blocks, n_chunks, bs, chunk] (see the forward impl for
+        # why the trailing block dims must equal the array dims).
+        p = jnp.pad(x, ((0, Bp - B), (0, Np - N)), constant_values=fill)
+        return p.reshape(n_blocks, bs, n_chunks, chunk).transpose(0, 2, 1, 3)
+
+    w = pad(jnp.where(valid > 0, 2.0, 1.0))
+    a_p, b_p, s_p, c_p = pad(a), pad(b), pad(inv2s2), pad(c_sq)
+    g_p = jnp.pad(g, ((0, Bp - B), (0, 0), (0, 0)))
+
+    row = lambda i, j: (i, j, 0, 0)
+    scalar_spec = pl.BlockSpec((1, 1, bs, chunk), row, memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((n_blocks, n_chunks, bs, chunk), jnp.float32)
+    da, db, ds, dc = pl.pallas_call(
+        functools.partial(_splat_bwd_kernel, use_bf16=use_bf16),
+        grid=(n_blocks, n_chunks),
+        in_specs=[
+            scalar_spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec,
+            pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, res, res), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[scalar_spec, scalar_spec, scalar_spec, scalar_spec],
+        out_shape=[out_sds, out_sds, out_sds, out_sds],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Bp * Np * res * res,
+            bytes_accessed=Bp * Np * 5 * 4 + Bp * res * res * 4,
+            transcendentals=2 * Bp * Np * res,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(a_p, b_p, s_p, c_p, w, gx[None, :], gy[None, :], g_p)
+
+    def unpad(x):
+        return x.transpose(0, 2, 1, 3).reshape(Bp, Np)[:B, :N]
+
+    return unpad(da), unpad(db), unpad(ds), unpad(dc)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -207,13 +329,10 @@ def _splat_fwd(a, b, inv2s2, c_sq, valid, gx, gy, width, height, precision):
 
 def _splat_bwd(width, height, precision, res_args, g):
     a, b, inv2s2, c_sq, valid, gx, gy = res_args
-    _, vjp = jax.vjp(
-        lambda a_, b_, s_, c_: _xla_equivalent(
-            a_, b_, s_, c_, valid, gx, gy, precision
-        ),
-        a, b, inv2s2, c_sq,
+    da, db, ds, dc = _splat_pallas_bwd_impl(
+        a, b, inv2s2, c_sq, valid, gx, gy, g,
+        use_bf16=(precision == "default"),
     )
-    da, db, ds, dc = vjp(g)
     return da, db, ds, dc, None, None, None
 
 

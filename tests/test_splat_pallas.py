@@ -70,6 +70,27 @@ def test_gradient_parity():
     )
 
 
+def test_gradient_parity_chunked_and_origins():
+    # N=530 > chunk=512 pins the fused backward's multi-chunk path; the
+    # origins gradient pins the σ (inv2s2) cotangent chain.
+    inter, origins, po, pu, pv, valid, res = _mk(B=2, N=530, res=32)
+
+    def loss_pal(x, o):
+        return jnp.sum(_pal(x, o, po, pu, pv, valid, res) ** 2)
+
+    def loss_xla(x, o):
+        return jnp.sum(_xla(x, o, po, pu, pv, valid, res) ** 2)
+
+    gi_p, go_p = jax.grad(loss_pal, argnums=(0, 1))(inter, origins)
+    gi_x, go_x = jax.grad(loss_xla, argnums=(0, 1))(inter, origins)
+    np.testing.assert_allclose(
+        np.asarray(gi_p), np.asarray(gi_x), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(go_p), np.asarray(go_x), rtol=1e-3, atol=1e-5
+    )
+
+
 def test_render_backend_knob_parity():
     pos = np.stack(
         [np.linspace(-10, 10, 6), np.full(6, 80.0), np.zeros(6)], axis=1
