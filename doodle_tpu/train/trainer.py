@@ -238,10 +238,14 @@ def train_and_eval(
         dropout=cfg.dropout,
         encoder_dtype=cfg.encoder_dtype,
     )
-    dummy_img = jnp.zeros((cfg.batch_size, cfg.k, cfg.resolution, cfg.resolution))
-    dummy_aux = jnp.zeros((cfg.batch_size, 3 + N * 3))
+    # Init on a batch-1 dummy: parameter shapes are batch-independent, and
+    # initializing at the real batch eagerly allocates the full CNN
+    # activations (B·k frames at res² — several GB at config-4 scale, an
+    # instant OOM that the remat'd train step itself never hits).
+    dummy_img = jnp.zeros((1, cfg.k, cfg.resolution, cfg.resolution))
+    dummy_aux = jnp.zeros((1, 3 + N * 3))
     params = policy.init(
-        k_policy, dummy_img, dummy_aux, policy.init_carry(cfg.batch_size)
+        k_policy, dummy_img, dummy_aux, policy.init_carry(1)
     )
 
     def make_opt(learning_rate):

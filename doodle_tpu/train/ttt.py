@@ -352,10 +352,12 @@ def ttt_train_and_eval(
         encoder_dtype=cfg.encoder_dtype,
         normalize_output=False,     # rollout renormalizes (ref :162)
     )
-    dummy_img = jnp.zeros((cfg.batch_size, cfg.k, cfg.resolution, cfg.resolution))
-    dummy_aux = jnp.zeros((cfg.batch_size, 3 + N * 3))
+    # Batch-1 init: parameter shapes are batch-independent, and a full-batch
+    # init eagerly allocates the CNN activations (OOM at large B·res).
+    dummy_img = jnp.zeros((1, cfg.k, cfg.resolution, cfg.resolution))
+    dummy_aux = jnp.zeros((1, 3 + N * 3))
     params = policy.init(
-        k_policy, dummy_img, dummy_aux, policy.init_carry(cfg.batch_size)
+        k_policy, dummy_img, dummy_aux, policy.init_carry(1)
     )
 
     def make_opt(learning_rate):
