@@ -36,7 +36,13 @@ from ..models.policy import PolicyNet
 from ..optim import adamp, cyclic_lr
 from .rollout import rollout
 
-__all__ = ["TrainConfig", "train_and_eval", "make_reference_geometry", "PlateauTracker"]
+__all__ = [
+    "TrainConfig",
+    "train_and_eval",
+    "make_reference_geometry",
+    "make_ttt_geometry",
+    "PlateauTracker",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,6 +143,21 @@ def make_reference_geometry(
     heliostats uniform in [80, 90)² on the ground plane (z=0), receiver at
     (0, −5, 0) facing +Y, 15×15 m."""
     pos = jax.random.uniform(key, (num_heliostats, 3)) * 10.0 + 80.0
+    pos = pos.at[:, 2].set(0.0)
+    return make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+
+
+def make_ttt_geometry(
+    num_heliostats: int, heliostat_distance: float, key: jax.Array
+) -> Scene:
+    """The TTT trainer's geometry recipe
+    (``train_with_env_com_trunc_advantage_ttt.py:371-374``): heliostats
+    uniform in [√d, √d+1)² on the ground plane (z=0), receiver at
+    (0, −5, 0) facing +Y, 15×15 m. ``heliostat_distance`` is the swept
+    field-offset knob (``run_experiments.py:59,91``)."""
+    pos = jax.random.uniform(key, (num_heliostats, 3)) + math.sqrt(
+        heliostat_distance
+    )
     pos = pos.at[:, 2].set(0.0)
     return make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
 

@@ -240,6 +240,9 @@ class TTTConfig(TrainConfig):
     fine_from_t0: bool = False
     fine_init_eps: float = 1e-4
     detach_input: bool = False
+    # Field offset: heliostats uniform in [√d, √d+1)² (ref ttt :371; the
+    # sweep knob of run_experiments.py:59,91 — values {15, 150, 1500}).
+    heliostat_distance: float = 1500.0
     extra_steps: int = 0            # test rollouts run T + extra_steps
     # Diagnostics dumps at each eval (ref :669-695,719-748): per-timestep
     # flux heatmap PNGs under <dump_dir>/step_<s>/idx_<i>/t_<t>.png and
@@ -293,13 +296,15 @@ def ttt_train_and_eval(
     import numpy as np
 
     from ..optim import adamp
-    from .trainer import PlateauTracker, cyclic_lr, make_reference_geometry
+    from .trainer import PlateauTracker, cyclic_lr, make_ttt_geometry
 
     key = jax.random.PRNGKey(cfg.seed)
     k_geo, k_env, k_policy, k_run = jax.random.split(key, 4)
 
     if scene is None:
-        scene = make_reference_geometry(cfg.num_heliostats, k_geo)
+        scene = make_ttt_geometry(
+            cfg.num_heliostats, cfg.heliostat_distance, k_geo
+        )
     N = scene.num_heliostats
 
     def env_cfg_for(az, el, batch, new_sun=False, new_err=False):

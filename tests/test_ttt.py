@@ -133,6 +133,21 @@ def test_curriculum_angles():
     assert interp[0] == pytest.approx(np.mean([angles[2][0], angles[3][0]]))
 
 
+def test_ttt_geometry_distance_knob():
+    """make_ttt_geometry places the field in [√d, √d+1)² at z=0
+    (ref ttt :371) — the run_experiments.py:91 sweep knob."""
+    from doodle_tpu.train.trainer import make_ttt_geometry
+
+    key = jax.random.PRNGKey(0)
+    for d in (15.0, 150.0, 1500.0):
+        scene = make_ttt_geometry(7, d, key)
+        pos = np.asarray(scene.heliostat_pos)
+        root = np.sqrt(d)
+        assert pos.shape == (7, 3)
+        assert (pos[:, :2] >= root).all() and (pos[:, :2] < root + 1.0).all()
+        assert (pos[:, 2] == 0.0).all()
+
+
 def test_ttt_train_and_eval_dumps(tiny, tmp_path):
     scene, *_ = tiny
     cfg = TTTConfig(
