@@ -83,6 +83,14 @@ class EnvConfig:
     # ``newenv/test_environment_angular.py:204-213``; the values feed
     # ``rotate_mrad_eu`` directly, i.e. they are in mrad like the error
     # tensors, reproducing the reference's unit convention).
+    #
+    # Documented deviation from the older angular generation: only the
+    # action parameterization changes — metric semantics stay those of the
+    # current-generation env (step aux carries the action-derived normals
+    # and mse normalizes both images by the *target* max), whereas the old
+    # angular env fed ideal normals in aux and normalized pred flux by its
+    # own max (``newenv/test_environment_angular.py:219-230``). One env,
+    # one metric contract, two action spaces.
     action_space: str = "normals"
 
     def field_config(self, error_scale_mrad: float) -> FieldConfig:

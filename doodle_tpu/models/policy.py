@@ -107,6 +107,15 @@ class PolicyNet(nn.Module):
     dropout: float = 0.1
     head_hidden: int = 256
     normalize_output: bool = True
+    # "normals" → [B, N, 3] unit mirror normals (current-generation action
+    # space); "angles" → [B, N, 2] East/Up rotations in mrad, tanh-bounded
+    # and scaled by ``angle_scale`` — the angular-variant policy
+    # (``newenv/train_with_env_angular.py:201-249``). The reference's
+    # angular head is unrunnable as shipped (missing comma → SyntaxError at
+    # :205, and its forward reshapes the N·2 output to (B, N, 3) at :243);
+    # this implements its evident intent: tanh ∘ Dense(N·2) × 50.
+    action_space: str = "normals"
+    angle_scale: float = 50.0
     # Compute dtype for the frame encoder ("bfloat16" ≈ 2-4× conv speed on
     # the MXU; None = f32). Heads/normals stay f32.
     encoder_dtype: str | None = None
@@ -120,7 +129,9 @@ class PolicyNet(nn.Module):
         *,
         deterministic: bool = True,
     ) -> tuple[jax.Array, Carry]:
-        """Returns ``(normals [B, N, 3], new_carry)``."""
+        """Returns ``(action, new_carry)``: ``[B, N, 3]`` unit mirror
+        normals (``action_space="normals"``) or ``[B, N, 2]`` tanh-bounded
+        E/U rotations in mrad (``action_space="angles"``)."""
         arch = self.architecture.lower()
         B, T = img_seq.shape[:2]
 
@@ -165,6 +176,10 @@ class PolicyNet(nn.Module):
         h = nn.Dense(self.head_hidden)(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.gelu(h)
+        if self.action_space == "angles":
+            out = nn.Dense(self.num_heliostats * 2)(h)
+            angles = jnp.tanh(out) * self.angle_scale
+            return angles.reshape(B, self.num_heliostats, 2), new_carry
         out = nn.Dense(self.num_heliostats * 3)(h)
         normals = out.reshape(B, self.num_heliostats, 3)
         if self.normalize_output:

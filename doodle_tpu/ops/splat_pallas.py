@@ -39,8 +39,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .splat import splat_image
-
 __all__ = ["splat_params", "splat_summed_pallas"]
 
 
@@ -304,19 +302,6 @@ def _splat_core(a, b, inv2s2, c_sq, valid, gx, gy, width, height, precision):
         a, b, inv2s2, c_sq, valid, gx, gy,
         use_bf16=(precision == "default"),
     )
-
-
-def _xla_equivalent(a, b, inv2s2, c_sq, valid, gx, gy, precision):
-    """The reference XLA formulation over the same per-ray scalars —
-    used for the backward pass (and as the parity oracle in tests)."""
-    dx_sq = (gx - a[..., None]) ** 2
-    dy_sq = (gy - b[..., None]) ** 2
-    s = inv2s2[..., None]
-    fx = jnp.exp(-(dx_sq + c_sq[..., None]) * s)
-    fy = jnp.exp(-dy_sq * s)
-    fx = jnp.where(valid[..., None] > 0, fx, 1.0)
-    fy = jnp.where(valid[..., None] > 0, fy, 1.0)
-    return splat_image(fx, fy, precision=precision)
 
 
 def _splat_fwd(a, b, inv2s2, c_sq, valid, gx, gy, width, height, precision):

@@ -74,7 +74,9 @@ class InferenceSession:
 
     def control(self, img_history, aux, carry):
         """One control step: ``([B, k, res, res], [B, aux], carry) →
-        ([B, N, 3] unit normals, carry)``."""
+        (action, carry)`` where the action is ``[B, N, 3]`` unit normals,
+        or ``[B, N, 2]`` E/U mrad rotations for a policy built with
+        ``policy_kwargs={"action_space": "angles"}``."""
         return self._apply(
             self.params, jnp.asarray(img_history), jnp.asarray(aux), carry
         )

@@ -40,6 +40,7 @@ __all__ = [
     "TrainConfig",
     "train_and_eval",
     "make_reference_geometry",
+    "make_angular_geometry",
     "make_ttt_geometry",
     "PlateauTracker",
 ]
@@ -93,6 +94,11 @@ class TrainConfig:
     half_angle_deg: float = 2.0
     single_sun: bool = False
     exponential_risk: bool = False
+    # "normals" (current generation) or "angles" — the angular action-space
+    # variant (env: newenv/test_environment_angular.py; trainer:
+    # newenv/train_with_env_angular.py, unrunnable as shipped — see
+    # models/policy.py).
+    action_space: str = "normals"
     test_size: int = 60
     eval_every: int = 100
     log_every: int = 25
@@ -147,6 +153,17 @@ def make_reference_geometry(
     return make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
 
 
+def make_angular_geometry(num_heliostats: int, key: jax.Array) -> Scene:
+    """The angular trainer's near-field geometry
+    (``newenv/train_with_env_angular.py:309``): heliostats uniform in
+    [0, 10)² on the ground plane (z=0) — close to the receiver, so
+    tanh-bounded ±50 mrad tilts of north-pointing normals are a usable
+    action space. Receiver at (0, −5, 0) facing +Y, 15×15 m."""
+    pos = jax.random.uniform(key, (num_heliostats, 3)) * 10.0
+    pos = pos.at[:, 2].set(0.0)
+    return make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+
+
 def make_ttt_geometry(
     num_heliostats: int, heliostat_distance: float, key: jax.Array
 ) -> Scene:
@@ -171,9 +188,15 @@ def _loss_weights(cfg: TrainConfig, global_i: int, last_bound: float) -> np.ndar
     mse·(1−decay) + dist·decay with decay falling linearly to 1e-5 over 80%
     of the active steps.
     """
-    pre = cfg.alignment_pretrain_steps
+    # The angular trainer has no alignment phase at all (its env generation
+    # predates the alignment loss; schedule at
+    # ``newenv/train_with_env_angular.py:404-416`` is warmup/boundary-lock →
+    # mse/dist blend only).
+    pre = 0 if cfg.action_space == "angles" else cfg.alignment_pretrain_steps
     warm = cfg.warmup_steps
-    if cfg.alignment_always or global_i < pre:
+    if cfg.action_space != "angles" and (
+        cfg.alignment_always or global_i < pre
+    ):
         return np.array([cfg.alignment_f, 0.0, 0.0, 0.0], np.float32)
     if global_i < pre + warm or last_bound > cfg.boundary_thresh:
         return np.array([0.0, cfg.anti_spill, 0.0, 0.0], np.float32)
@@ -205,7 +228,11 @@ def train_and_eval(
     k_geo, k_env, k_policy, k_run = jax.random.split(key, 4)
 
     if scene is None:
-        scene = make_reference_geometry(cfg.num_heliostats, k_geo)
+        scene = (
+            make_angular_geometry(cfg.num_heliostats, k_geo)
+            if cfg.action_space == "angles"
+            else make_reference_geometry(cfg.num_heliostats, k_geo)
+        )
     N = scene.num_heliostats
 
     env_cfg = env_lib.EnvConfig(
@@ -224,6 +251,7 @@ def train_and_eval(
         exponential_risk=cfg.exponential_risk,
         precision=cfg.precision,
         splat_backend=cfg.splat_backend,
+        action_space=cfg.action_space,
     )
 
     # ---- stacked train env states sharing env 0's suns (ref :253-256)
@@ -258,6 +286,7 @@ def train_and_eval(
         transformer_heads=cfg.transformer_heads,
         dropout=cfg.dropout,
         encoder_dtype=cfg.encoder_dtype,
+        action_space=cfg.action_space,
     )
     # Init on a batch-1 dummy: parameter shapes are batch-independent, and
     # initializing at the real batch eagerly allocates the full CNN
@@ -348,7 +377,9 @@ def train_and_eval(
     last_bound = math.inf
     last_mse = None
     best_mse = None
-    pretrain = cfg.alignment_pretrain_steps
+    # No alignment phase in the angular trainer (see _loss_weights) — don't
+    # extend the loop by the pretrain budget either.
+    pretrain = 0 if cfg.action_space == "angles" else cfg.alignment_pretrain_steps
     run_key = k_run
     t_start = time.time()
     start_step = 0

@@ -301,6 +301,16 @@ def ttt_train_and_eval(
     key = jax.random.PRNGKey(cfg.seed)
     k_geo, k_env, k_policy, k_run = jax.random.split(key, 4)
 
+    if cfg.action_space != "normals":
+        # The TTT rollout's residual action accumulation
+        # (normalize(Δ + prev_normals)) is defined on unit normals; the
+        # reference has no angular TTT variant either. Fail loudly rather
+        # than silently training in normals mode.
+        raise ValueError(
+            "ttt_train_and_eval supports action_space='normals' only; "
+            "use train_and_eval for the angular action space"
+        )
+
     if scene is None:
         scene = make_ttt_geometry(
             cfg.num_heliostats, cfg.heliostat_distance, k_geo
@@ -319,6 +329,9 @@ def ttt_train_and_eval(
             error_mask_ratio=cfg.error_mask_ratio,
             azimuth=az,
             elevation=el,
+            half_angle_deg=cfg.half_angle_deg,
+            single_sun=cfg.single_sun,
+            exponential_risk=cfg.exponential_risk,
             precision=cfg.precision,
             splat_backend=cfg.splat_backend,
         )

@@ -10,8 +10,12 @@ mesh — it validates the sharded program end-to-end and measures the
 partitioning overhead, but CPU "devices" share cores, so treat those
 numbers as a lower bound, not the ICI figure.
 
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-        python scripts/scaling_bench.py --devices 1 2 4 8
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/scaling_bench.py --devices 1 2 4 8 --platform cpu
+
+(``--platform cpu`` forces the platform through jax.config — the
+JAX_PLATFORMS env var alone cannot override this image's TPU plugin.
+Omit it on real multi-chip hardware.)
 """
 
 import argparse
@@ -31,9 +35,18 @@ def main(argv=None):
     p.add_argument("--T", type=int, default=2)
     p.add_argument("--k", type=int, default=2)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument(
+        "--platform", default=None,
+        help="force this JAX platform via jax.config (needed for the "
+        "virtual CPU mesh on images whose TPU plugin ignores the "
+        "JAX_PLATFORMS env var); default: whatever jax picks",
+    )
     args = p.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import optax
 

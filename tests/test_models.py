@@ -117,6 +117,28 @@ def test_policy_unnormalized_output_for_ttt():
     assert not np.allclose(norms, 1.0, atol=1e-3)
 
 
+def test_policy_angular_action_space():
+    """action_space='angles' → [B, N, 2] E/U mrad actions bounded by
+    ±angle_scale (the intent of the unrunnable reference angular head,
+    newenv/train_with_env_angular.py:201-249)."""
+    policy = PolicyNet(num_heliostats=5, enc_dim=32, architecture="mlp",
+                       action_space="angles", angle_scale=50.0, dropout=0.0)
+    params, img, aux, carry = _init(policy)
+    angles, _ = policy.apply(params, img, aux, carry)
+    assert angles.shape == (3, 5, 2)
+    a = np.asarray(angles)
+    assert (np.abs(a) < 50.0).all()
+
+    # gradients flow through the tanh head
+    def loss(p):
+        out, _ = policy.apply(p, img, aux, carry)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
+
+
 def test_lstm_carry_changes_output():
     """Threading the LSTM carry across calls must change the prediction."""
     policy = _make_policy("lstm")

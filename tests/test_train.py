@@ -166,6 +166,69 @@ def test_train_and_eval_tiny_runs_and_improves(tiny):
     assert {"loss/total", "loss/mse", "mse/test"} <= tags
 
 
+def test_angular_loss_weights_skip_alignment():
+    """The angular trainer has no alignment phase
+    (newenv/train_with_env_angular.py:404-416): weights go straight to the
+    warmup/boundary-lock phase, then the mse/dist blend."""
+    from doodle_tpu.train.trainer import _loss_weights
+
+    cfg = TrainConfig(action_space="angles", steps=100, warmup_steps=5,
+                      alignment_pretrain_steps=100, alignment_always=True,
+                      num_batches=1)
+    w0 = _loss_weights(cfg, 0, last_bound=1e9)
+    assert w0[0] == 0.0 and w0[1] > 0.0          # boundary, never alignment
+    w_late = _loss_weights(cfg, 50, last_bound=0.0)
+    assert w_late[0] == 0.0 and w_late[1] == 0.0
+    assert w_late[2] > 0.0 and w_late[3] > 0.0   # mse/dist blend reached
+
+
+def test_angular_geometry_near_field():
+    """make_angular_geometry: [0, 10)² at z=0 (ref angular :309)."""
+    from doodle_tpu.train.trainer import make_angular_geometry
+
+    scene = make_angular_geometry(6, jax.random.PRNGKey(0))
+    pos = np.asarray(scene.heliostat_pos)
+    assert (pos[:, :2] >= 0.0).all() and (pos[:, :2] < 10.0).all()
+    assert (pos[:, 2] == 0.0).all()
+
+
+def test_train_and_eval_angular_action_space():
+    """End-to-end training in the angular action space: tanh-bounded E/U
+    mrad actions through the angular env at the near-field geometry (the
+    working version of the reference's unrunnable
+    newenv/train_with_env_angular.py). Asserts the policy actually learns
+    (loss moves), not just finiteness."""
+    cfg = TrainConfig(
+        num_heliostats=5, batch_size=4, num_batches=1, steps=6, T=2, k=2,
+        resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+        alignment_pretrain_steps=100, warmup_steps=1,
+        boundary_thresh=1e9,           # tiny scene: skip the boundary lock
+        lr=1e-3, grad_clip=1.0, scheduler="none", eval_every=3,
+        log_every=100, test_size=4, dropout=0.0,
+        action_space="angles",
+    )
+    scalars = []
+
+    class Rec:
+        def add_scalar(self, tag, val, step):
+            scalars.append((tag, val, step))
+
+    best = train_and_eval(cfg, scene=None, writer=Rec())  # near-field geo
+    assert best is not None and np.isfinite(best)
+    mse = [v for t, v, _ in scalars if t == "loss/mse"]
+    assert len(mse) >= 2 and np.isfinite(mse).all()
+    # the mse/dist blend must be the active objective (no alignment phase)
+    totals = [v for t, v, _ in scalars if t == "loss/total"]
+    assert totals[0] != totals[-1]
+
+
+def test_ttt_rejects_angular_action_space():
+    from doodle_tpu.train.ttt import TTTConfig, ttt_train_and_eval
+
+    with pytest.raises(ValueError, match="normals"):
+        ttt_train_and_eval(TTTConfig(action_space="angles"))
+
+
 def test_train_and_eval_scheduler_exp_changes_lr(tiny):
     scene, *_ = tiny
     cfg = TrainConfig(
