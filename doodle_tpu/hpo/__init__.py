@@ -15,7 +15,7 @@ on-device:
 """
 
 from .grid import iterative_grid_search
-from .pool import DevicePool, run_trial_subprocess
+from .pool import DevicePool, run_trial_streaming, run_trial_subprocess
 from .random_search import random_search
 from .sweep import SweepConfig, run_sweep
 
@@ -26,4 +26,5 @@ __all__ = [
     "random_search",
     "DevicePool",
     "run_trial_subprocess",
+    "run_trial_streaming",
 ]

@@ -12,7 +12,21 @@ from __future__ import annotations
 import math
 from typing import Any, Callable, Mapping
 
-__all__ = ["optuna_minimize"]
+__all__ = ["optuna_minimize", "make_optuna_pruning_callback"]
+
+
+def make_optuna_pruning_callback(trial) -> Callable[[int, float], bool]:
+    """``on_value`` adapter for :func:`doodle_tpu.hpo.pool.run_trial_streaming`:
+    reports each intermediate value to the Optuna trial and returns True
+    (→ kill the trial subprocess) when the pruner says to stop — the
+    reference's mid-run prune-with-kill loop
+    (``newenv/optuna_runner_dummy.py:96-131``)."""
+
+    def on_value(step: int, value: float) -> bool:
+        trial.report(value, step)
+        return trial.should_prune()
+
+    return on_value
 
 
 def optuna_minimize(

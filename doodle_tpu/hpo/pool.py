@@ -14,12 +14,23 @@ import json
 import os
 import pathlib
 import queue
+import signal
 import subprocess
 import sys
 import tempfile
-from typing import Any, Mapping, Sequence
+import time
+from typing import Any, Callable, Mapping, Sequence
 
-__all__ = ["DevicePool", "run_trial_subprocess"]
+__all__ = ["DevicePool", "run_trial_subprocess", "run_trial_streaming"]
+
+
+def _script_argv(script: str) -> list[str]:
+    """A ``script`` of the form ``"-m pkg.module"`` runs as a module
+    (needed for CLIs using relative imports, e.g. ``-m doodle_tpu.cli.train``);
+    anything else is a file path."""
+    if script.startswith("-m "):
+        return ["-m", script[3:].strip()]
+    return [script]
 
 
 class DevicePool:
@@ -63,7 +74,7 @@ def run_trial_subprocess(
     ) as f:
         metrics_path = f.name
 
-    cmd = [python or sys.executable, script]
+    cmd = [python or sys.executable] + _script_argv(script)
     for k, v in params.items():
         cmd += [f"--{k}", str(v)]
     cmd += ["--metrics_out", metrics_path]
@@ -97,3 +108,159 @@ def run_trial_subprocess(
         return metrics
     finally:
         pathlib.Path(metrics_path).unlink(missing_ok=True)
+
+
+def _kill_group(proc: subprocess.Popen, grace: float = 5.0) -> None:
+    """Terminate the child's whole process group (exact pgid, never by
+    pattern): SIGTERM, then SIGKILL after ``grace`` seconds."""
+    try:
+        pgid = os.getpgid(proc.pid)
+    except ProcessLookupError:
+        return
+    try:
+        os.killpg(pgid, signal.SIGTERM)
+        proc.wait(timeout=grace)
+    except (subprocess.TimeoutExpired, ProcessLookupError):
+        try:
+            os.killpg(pgid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+
+
+def run_trial_streaming(
+    script: str,
+    params: Mapping[str, Any],
+    on_value: Callable[[int, float], bool] | None = None,
+    watch_tag: str = "mse/test",
+    device_id: int | None = None,
+    device_env_var: str = "TPU_VISIBLE_CHIPS",
+    timeout: float | None = None,
+    python: str | None = None,
+    poll_interval: float = 0.25,
+    workdir: str | None = None,
+) -> dict:
+    """Subprocess trial runner with live intermediate values and mid-run
+    pruning by process kill.
+
+    Parity: the reference's streaming Optuna runner
+    (``newenv/optuna_runner_dummy.py:31-140``), which live-tails a metrics
+    CSV written by the trial subprocess, reports each intermediate value to
+    the pruner, and kills losing trials before they finish. Here the child
+    is launched with ``--logdir <tmp>`` so its :class:`JsonlWriter` streams
+    ``metrics.jsonl``; every scalar line whose tag equals ``watch_tag``
+    triggers ``on_value(step, value)`` — a truthy return prunes the trial:
+    the child's process group is killed (exact pgid) and
+    ``{"pruned": True, "last_step": s, "last_value": v}`` is returned.
+
+    For Optuna wire ``on_value = make_optuna_pruning_callback(trial)``
+    (:mod:`doodle_tpu.hpo.optuna_search`). Without ``on_value`` this still
+    streams (returning the value history) but never prunes.
+
+    On normal exit, the objective is read from ``--metrics_out`` with the
+    same stdout-JSON fallback as :func:`run_trial_subprocess`. A ``timeout``
+    kills the group and returns ``{"timed_out": True, ...}``.
+    """
+    own_workdir = workdir is None
+    workdir_p = pathlib.Path(
+        workdir if workdir is not None else tempfile.mkdtemp(prefix="trial_")
+    )
+    workdir_p.mkdir(parents=True, exist_ok=True)
+    metrics_path = workdir_p / "final.json"
+    jsonl_path = workdir_p / "metrics.jsonl"
+
+    cmd = [python or sys.executable] + _script_argv(script)
+    for k, v in params.items():
+        cmd += [f"--{k}", str(v)]
+    cmd += ["--metrics_out", str(metrics_path), "--logdir", str(workdir_p)]
+
+    env = dict(os.environ)
+    if device_id is not None:
+        env[device_env_var] = str(device_id)
+
+    history: list[tuple[int, float]] = []
+    result: dict = {}
+    deadline = None if timeout is None else time.monotonic() + timeout
+    buf = ""
+    fh = None
+
+    with open(workdir_p / "stdout.log", "w") as out_f, open(
+        workdir_p / "stderr.log", "w"
+    ) as err_f:
+        proc = subprocess.Popen(
+            cmd, stdout=out_f, stderr=err_f, text=True, env=env,
+            start_new_session=True,
+        )
+    try:
+        while True:
+            rc = proc.poll()
+            # Drain any new complete jsonl lines (keep partial tail in buf).
+            if fh is None and jsonl_path.exists():
+                fh = open(jsonl_path, "r")
+            if fh is not None:
+                buf += fh.read()
+                *lines, buf = buf.split("\n")
+                for line in lines:
+                    if not line.strip():
+                        continue
+                    try:
+                        d = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if (
+                        d.get("event") == "scalar"
+                        and d.get("tag") == watch_tag
+                    ):
+                        step, value = int(d["step"]), float(d["value"])
+                        history.append((step, value))
+                        if on_value is not None and on_value(step, value):
+                            _kill_group(proc)
+                            result = {
+                                "pruned": True,
+                                "last_step": step,
+                                "last_value": value,
+                            }
+                            break
+                if result:
+                    break
+            if rc is not None:
+                result = {"returncode": rc}
+                break
+            if deadline is not None and time.monotonic() > deadline:
+                _kill_group(proc)
+                result = {"timed_out": True}
+                break
+            time.sleep(poll_interval)
+    finally:
+        if fh is not None:
+            fh.close()
+        if proc.poll() is None:  # never leak the child on an exception
+            _kill_group(proc)
+
+    result["history"] = history
+    if not result.get("pruned") and not result.get("timed_out"):
+        if metrics_path.exists() and metrics_path.stat().st_size > 0:
+            try:
+                result.update(json.loads(metrics_path.read_text()))
+            except json.JSONDecodeError:
+                pass
+        if "objective" not in result:
+            try:
+                stdout_text = (workdir_p / "stdout.log").read_text()
+            except OSError:
+                stdout_text = ""
+            for line in reversed(stdout_text.splitlines()):
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(obj, dict) and "objective" in obj:
+                    result.update(obj)
+                    break
+    if own_workdir and "objective" in result:
+        # Clean scratch dirs for completed trials; keep them for
+        # pruned/failed runs so stdout/stderr.log stay inspectable.
+        import shutil
+
+        shutil.rmtree(workdir_p, ignore_errors=True)
+    return result

@@ -189,3 +189,98 @@ def test_run_trial_subprocess_stdout_fallback(tmp_path):
     )
     m = run_trial_subprocess(str(script), {})
     assert m["objective"] == 7.0
+
+
+# ------------------------------------------- streaming runner (mid-run prune)
+_STREAMING_CHILD = """\
+import argparse, json, pathlib, time
+p = argparse.ArgumentParser()
+p.add_argument('--lr', type=float, default=0.1)
+p.add_argument('--steps', type=int, default=5)
+p.add_argument('--delay', type=float, default=0.05)
+p.add_argument('--metrics_out')
+p.add_argument('--logdir')
+a = p.parse_args()
+with open(pathlib.Path(a.logdir) / 'metrics.jsonl', 'w') as jl:
+    for step in range(a.steps):
+        jl.write(json.dumps({'event': 'scalar', 'tag': 'mse/test',
+                             'value': 1.0 / (step + 1), 'step': step}) + '\\n')
+        jl.flush()
+        time.sleep(a.delay)
+open(a.metrics_out, 'w').write(json.dumps({'objective': a.lr}))
+"""
+
+
+def test_run_trial_streaming_completion(tmp_path):
+    from doodle_tpu.hpo import run_trial_streaming
+
+    script = tmp_path / "trial.py"
+    script.write_text(_STREAMING_CHILD)
+    seen = []
+    m = run_trial_streaming(
+        str(script), {"lr": 0.25, "steps": 4, "delay": 0.01},
+        on_value=lambda s, v: seen.append((s, v)) and False,
+        workdir=str(tmp_path / "work"),
+    )
+    assert m["returncode"] == 0
+    assert m["objective"] == 0.25
+    assert [s for s, _ in m["history"]] == [0, 1, 2, 3]
+    assert seen == m["history"]
+
+
+def test_run_trial_streaming_prunes_and_kills(tmp_path):
+    import time as _time
+
+    from doodle_tpu.hpo import run_trial_streaming
+
+    script = tmp_path / "trial.py"
+    script.write_text(_STREAMING_CHILD)
+    t0 = _time.monotonic()
+    m = run_trial_streaming(
+        str(script), {"steps": 1000, "delay": 0.2},  # would run ~200 s
+        on_value=lambda step, value: step >= 2,
+        workdir=str(tmp_path / "work"),
+    )
+    wall = _time.monotonic() - t0
+    assert m["pruned"] is True
+    assert m["last_step"] == 2
+    assert m["last_value"] == 1.0 / 3
+    assert "objective" not in m
+    assert wall < 30  # killed long before the 200 s the child wanted
+    # pruned runs keep their scratch dir for inspection
+    assert (tmp_path / "work" / "stderr.log").exists()
+
+
+def test_run_trial_streaming_timeout(tmp_path):
+    from doodle_tpu.hpo import run_trial_streaming
+
+    script = tmp_path / "trial.py"
+    script.write_text(_STREAMING_CHILD)
+    m = run_trial_streaming(
+        str(script), {"steps": 1000, "delay": 0.2}, timeout=1.0,
+        workdir=str(tmp_path / "work"),
+    )
+    assert m["timed_out"] is True
+    assert "objective" not in m
+
+
+def test_optuna_pruning_callback_stub():
+    """The adapter only needs .report/.should_prune — works with any trial."""
+    from doodle_tpu.hpo.optuna_search import make_optuna_pruning_callback
+
+    class StubTrial:
+        def __init__(self):
+            self.reported = []
+
+        def report(self, value, step):
+            self.reported.append((step, value))
+
+        def should_prune(self):
+            return len(self.reported) >= 3
+
+    trial = StubTrial()
+    cb = make_optuna_pruning_callback(trial)
+    assert cb(0, 1.0) is False
+    assert cb(1, 0.5) is False
+    assert cb(2, 0.3) is True
+    assert trial.reported == [(0, 1.0), (1, 0.5), (2, 0.3)]
