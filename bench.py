@@ -9,22 +9,31 @@ One env-step = one full render + all losses (mse/dist/bound/alignment) for
 one sun; a batch step counts as B env-steps (the reference's "env batch" is
 its scale axis, SURVEY §0).
 
-Two rates are reported:
-  * device rate — steps fused into one XLA program (``lax.fori_loop``),
-    which is how training rollouts actually execute (``lax.scan``); this is
-    the primary metric;
-  * dispatch rate — one jitted call per step from Python, which includes
-    the host→TPU dispatch round-trip (the interactive-use floor).
+Methodology (hardened 2026-08-17 for remote-attached TPUs):
+  * **Distinct inputs per rep.** Each fused iteration consumes its own
+    pre-generated action via ``lax.scan`` over an ``[reps, ...]`` batch.
+    With identical inputs XLA hoists the loop-invariant step out of a
+    ``fori_loop`` (verified in compiled HLO), silently benchmarking one
+    step instead of ``reps``.
+  * **Fetch-based completion.** On the experimental ``axon`` remote
+    platform ``block_until_ready`` can return before device execution
+    finishes (measured: a 50-step scan "completing" in 0.05 ms against a
+    ≥2.5 ms physical floor). A device→host copy of the result cannot lie,
+    so every timing ends in ``np.asarray``.
+  * **Two-rep-count slope.** The host↔TPU tunnel round-trip is ~30 ms —
+    larger than the compute being measured — so the per-step time is the
+    slope between two rep counts, which cancels the constant
+    dispatch+fetch term: ``(t(R2) − t(R1)) / (R2 − R1)``.
 
 ``vs_baseline``: the PyTorch reference publishes no numbers (BASELINE.md);
 we report the ratio against the reference implementation measured on this
 machine's CPU (2026-08-17, BASELINE.md "measured" table). The driver north
-star of ≥5× an A100 remains the stronger standing target — even granting
-the A100 a generous 1000× over this CPU baseline, the N=500 number clears it.
+star is ≥5× an A100 running the reference at N=500/256².
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -43,10 +52,9 @@ def _setup(num_heliostats, resolution, batch_size, use_error_mask,
            splat_backend="auto"):
     from doodle_tpu.core.scene import make_scene
     from doodle_tpu.env import env as env_lib
-    from doodle_tpu.ops.optics import normalize
 
     key = jax.random.PRNGKey(0)
-    k_geo, k_env, k_act = jax.random.split(key, 3)
+    k_geo, k_env = jax.random.split(key)
     pos = jax.random.uniform(k_geo, (num_heliostats, 3)) * 10.0 + 80.0
     pos = pos.at[:, 2].set(0.0)
     scene = make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
@@ -60,61 +68,79 @@ def _setup(num_heliostats, resolution, batch_size, use_error_mask,
         splat_backend=splat_backend,
     )
     state = env_lib.init_state(scene, cfg, k_env)
-    action = normalize(
-        state.ideal_normals
-        + 0.01 * jax.random.normal(k_act, state.ideal_normals.shape)
+    return scene, cfg, state
+
+
+def _make_actions(state, reps, key):
+    """``reps`` distinct unit-normal actions around the ideal normals."""
+    from doodle_tpu.ops.optics import normalize
+
+    noise = 0.01 * jax.random.normal(
+        key, (reps,) + state.ideal_normals.shape, state.ideal_normals.dtype
     )
-    return scene, cfg, state, action
+    return normalize(state.ideal_normals[None] + noise)
+
+
+def _timed_fetch(fn, *args, tries=7):
+    """Best-of-``tries`` wall time of fn(*args) synced by a host copy."""
+    np.asarray(fn(*args))  # warm compile + warm transfer path
+    best = float("inf")
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def bench_device_rate(num_heliostats, resolution, batch_size, use_error_mask,
-                      reps=100, splat_backend="auto"):
-    """Fused rate: `reps` env steps inside one jitted fori_loop."""
+                      reps_small=50, reps_large=200, splat_backend="auto"):
+    """Fused rate via the slope between two scan lengths (see module doc)."""
     from doodle_tpu.env import env as env_lib
 
-    scene, cfg, state, action = _setup(
+    scene, cfg, state = _setup(
         num_heliostats, resolution, batch_size, use_error_mask, splat_backend
     )
 
     @jax.jit
-    def loop(a):
-        def body(i, acc):
-            _, metrics, _ = env_lib.step(scene, cfg, state, a + 0e-9 * acc)
-            return acc + metrics["mse"]
-        return jax.lax.fori_loop(0, reps, body, 0.0)
+    def loop(actions):
+        def body(acc, a):
+            _, metrics, _ = env_lib.step(scene, cfg, state, a)
+            return acc + metrics["mse"], None
+        out, _ = jax.lax.scan(body, 0.0, actions)
+        return out
 
-    out = loop(action)
-    out.block_until_ready()
-    # Best-of-k: a single timed call (~tens of ms) is at the mercy of
-    # tunnel-latency hiccups on remote-attached TPUs; the min over several
-    # calls is the honest device rate.
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = loop(action)
-        out.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    dt = best / reps
-    return batch_size / dt, dt
+    key = jax.random.PRNGKey(1)
+    t = {}
+    for reps in (reps_small, reps_large):
+        actions = jax.jit(_make_actions, static_argnums=1)(state, reps, key)
+        t[reps] = _timed_fetch(loop, actions)
+    dt = (t[reps_large] - t[reps_small]) / (reps_large - reps_small)
+    dt = max(dt, 1e-9)  # tunnel jitter guard
+    return batch_size / dt, dt, {r: round(v * 1e3, 2) for r, v in t.items()}
 
 
 def bench_dispatch_rate(num_heliostats, resolution, batch_size,
-                        use_error_mask, iters=50, splat_backend="auto"):
-    """Per-call rate including host dispatch (one jit call per step)."""
+                        use_error_mask, iters=10, splat_backend="auto"):
+    """Per-call rate with a host sync every step. On a remote-attached TPU
+    this is tunnel-RTT-bound (~30 ms/call here) — the interactive floor,
+    not a device metric. Training amortizes it by fusing T steps per call."""
     from doodle_tpu.env import env as env_lib
 
-    scene, cfg, state, action = _setup(
+    scene, cfg, state = _setup(
         num_heliostats, resolution, batch_size, use_error_mask, splat_backend
     )
+    actions = jax.jit(_make_actions, static_argnums=1)(
+        state, iters, jax.random.PRNGKey(2)
+    )
     step = jax.jit(env_lib.step, static_argnames=("cfg",))
-    _, metrics, _ = step(scene, cfg, state, action)
-    jax.block_until_ready(metrics["mse"])
+    _, metrics, _ = step(scene, cfg, state, actions[0])
+    np.asarray(metrics["mse"])
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            _, metrics, _ = step(scene, cfg, state, action)
-        jax.block_until_ready(metrics["mse"])
+        for i in range(iters):
+            _, metrics, _ = step(scene, cfg, state, actions[i])
+            np.asarray(metrics["mse"])
         best = min(best, time.perf_counter() - t0)
     dt = best / iters
     return batch_size / dt, dt
@@ -122,9 +148,9 @@ def bench_dispatch_rate(num_heliostats, resolution, batch_size,
 
 def main():
     dev = jax.devices()[0]
-    small_dev, small_dt = bench_device_rate(50, 128, 25, False)
-    big_dev, big_dt = bench_device_rate(500, 256, 128, True)
-    big_disp, _ = bench_dispatch_rate(500, 256, 128, True, iters=30)
+    small_dev, small_dt, small_raw = bench_device_rate(50, 128, 25, False)
+    big_dev, big_dt, big_raw = bench_device_rate(500, 256, 128, True)
+    big_disp, disp_dt = bench_dispatch_rate(500, 256, 128, True)
 
     result = {
         "metric": "env_steps_per_s_per_chip_n500_res256",
@@ -133,9 +159,11 @@ def main():
         "vs_baseline": round(big_dev / TORCH_CPU_BASELINE["n500"], 1),
         "extra": {
             "n50_res128_b25_device": round(small_dev, 1),
+            "n50_step_ms": round(small_dt * 1e3, 4),
+            "n500_step_ms": round(big_dt * 1e3, 4),
             "n500_dispatch_rate": round(big_disp, 1),
-            "n50_step_ms": round(small_dt * 1e3, 3),
-            "n500_step_ms": round(big_dt * 1e3, 3),
+            "dispatch_rtt_ms": round(disp_dt * 1e3, 1),
+            "raw_totals_ms": {"n50": small_raw, "n500": big_raw},
             "device": str(dev),
         },
     }

@@ -88,12 +88,18 @@ def main(argv=None):
         s_state = shard_env_state(mesh, state)
         w = jnp.array([1.0, 0.0, 0.0, 0.0])
 
+        import numpy as np
+
+        # Sync via a host fetch: on the remote axon platform
+        # block_until_ready can return before execution finishes (bench.py
+        # module doc); a device→host copy cannot. Iterations chain through
+        # ``out`` so none can be elided.
         out = step(params, opt_state, s_state, jax.random.PRNGKey(2), w)
-        jax.block_until_ready(out[3])
+        np.asarray(jax.tree_util.tree_leaves(out[3])[0])
         t0 = time.perf_counter()
         for i in range(args.iters):
             out = step(out[0], out[1], out[2], jax.random.PRNGKey(3 + i), w)
-        jax.block_until_ready(out[3])
+        np.asarray(jax.tree_util.tree_leaves(out[3])[0])
         dt = (time.perf_counter() - t0) / args.iters
         times[n] = dt
         print(f"n={n}: {dt*1e3:.1f} ms/step (global B={B})")
