@@ -81,7 +81,7 @@ def _make_actions(state, reps, key):
     return normalize(state.ideal_normals[None] + noise)
 
 
-def _timed_fetch(fn, *args, tries=7):
+def _timed_fetch(fn, *args, tries=12):
     """Best-of-``tries`` wall time of fn(*args) synced by a host copy."""
     np.asarray(fn(*args))  # warm compile + warm transfer path
     best = float("inf")
@@ -93,7 +93,7 @@ def _timed_fetch(fn, *args, tries=7):
 
 
 def bench_device_rate(num_heliostats, resolution, batch_size, use_error_mask,
-                      reps_small=50, reps_large=200, splat_backend="auto"):
+                      reps_small=50, reps_large=400, splat_backend="auto"):
     """Fused rate via the slope between two scan lengths (see module doc)."""
     from doodle_tpu.env import env as env_lib
 
@@ -148,7 +148,11 @@ def bench_dispatch_rate(num_heliostats, resolution, batch_size,
 
 def main():
     dev = jax.devices()[0]
-    small_dev, small_dt, small_raw = bench_device_rate(50, 128, 25, False)
+    # Rep counts sized so the compute delta (Δreps × step time) dwarfs the
+    # ±10 ms tunnel-RTT jitter: ~0.04 ms/step at N=50 needs Δreps ≈ 2800.
+    small_dev, small_dt, small_raw = bench_device_rate(
+        50, 128, 25, False, reps_small=400, reps_large=3200
+    )
     big_dev, big_dt, big_raw = bench_device_rate(500, 256, 128, True)
     big_disp, disp_dt = bench_dispatch_rate(500, 256, 128, True)
 
