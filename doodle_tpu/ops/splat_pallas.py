@@ -11,8 +11,9 @@ VMEM straight from the per-ray scalars (a, b, σ, |c|²) and immediately
 contracted on the MXU into the output tiles, accumulating across chunks.
 The tables never touch HBM; per-render traffic drops to the [B, N] scalar
 inputs plus one [B, res, res] image write. Measured on one v5e chip at the
-north-star config (N=500, 256², B=128): 0.42 ms vs 0.47 ms for the XLA
-path, lifting the full env step from 175k to 209k env-steps/s.
+north-star config (N=500, 256², B=128): 0.18-0.20 ms forward vs ~0.31 for
+the XLA separable path (full env steps: 0.26 vs 0.37 ms before the
+mask-free rework below).
 
 The backward is a fused kernel with the same structure
 (``_splat_bwd_kernel``): both factor-table cotangents are themselves MXU
@@ -21,8 +22,12 @@ scalars elementwise in VMEM — so no ``[B, N, res]`` tables (factor or
 cotangent) are materialized in either direction, which is what buys
 batch-size headroom at large N (XLA's autodiff working set at N=2000,
 B=64 is ~0.5 GB; this kernel's is the [B, res, res] cotangent alone).
-Fwd+bwd wall-clock is at parity with XLA autodiff (2.20 vs 2.18 ms at
-N=2000) — the win is memory, not time.
+Fused fwd+bwd measures ≈0.54 ms at the north-star config.
+
+Both kernels are mask-free: per-element compare/select ops for the
+valid/invalid/padding ray classes were replaced by encoding the class
+into the per-ray scalars (see ``_splat_kernel``), worth ~25% on the
+VPU-bound forward (0.25 → 0.184 ms measured).
 
 Numerics match ``splat_factors`` + ``splat_image`` (including the
 reference's invalid-ray ⇒ all-ones-contribution quirk,
@@ -39,7 +44,42 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["splat_params", "splat_summed_pallas"]
+__all__ = ["splat_params", "splat_summed_pallas", "TUNE"]
+
+# Kernel tuning knobs (module-level so autotune sweeps can poke them
+# without churning the custom_vjp signature). ``chunk``: contraction
+# depth per grid step; ``image_block``: images per grid step (amortizes
+# per-step pipeline overhead); ``vmem_budget``: cap on the per-step VMEM
+# working set our blocking heuristic targets; ``vmem_limit_bytes``:
+# Mosaic's hard VMEM ceiling (None = compiler default ~16 MB).
+#
+# Forward and backward are tuned separately: the backward's per-image
+# working set is ~4x the forward's (fx/fy/dfx/dfy + temps), so at
+# chunk=512 under the 12M budget it only fits 2 images per grid step and
+# goes overhead-bound. Swept on a v5e at N=500/256²/B=128
+# (scripts/splat_autotune.py, 2026-08-17): fwd 0.18-0.20 ms at
+# chunk=512/bs=8 (bs=16/32 with a raised VMEM limit measured 0.23-0.27 —
+# more VMEM pressure loses to pipelining); bwd ≈0.35 ms at chunk=128
+# (0.540 fwd+bwd) vs ≈0.55 at chunk=512/bs=2, with chunk∈{128,256} and
+# budget∈{12M,24M,48M} all within ±5% — the backward is compute-bound
+# (two MXU dots + factor recompute), so only the bs=2 cliff matters.
+TUNE = {
+    "fwd": {
+        "chunk": 512,
+        "image_block": 8,
+        "vmem_budget": 12 * 2**20,
+        "vmem_limit_bytes": None,
+    },
+    "bwd": {
+        "chunk": 128,
+        "image_block": 8,
+        "vmem_budget": 12 * 2**20,
+        "vmem_limit_bytes": None,
+    },
+}
+
+# exp(-_PAD_C) == 0 exactly in f32: padding rays contribute nothing.
+_PAD_C = 1e30
 
 
 def splat_params(
@@ -67,13 +107,19 @@ def splat_params(
     return a, b, inv2s2, c_sq, valid_mask[..., 0]
 
 
-def _splat_kernel(a_ref, b_ref, s_ref, c_ref, w_ref, gx_ref, gy_ref, out_ref,
+def _splat_kernel(a_ref, b_ref, s_ref, c_ref, gx_ref, gy_ref, out_ref,
                   *, use_bf16: bool):
     """One grid step = (image block, heliostat chunk): build the block's
     factor tables in VMEM, contract over the chunk with one batched MXU
     dot, accumulate. Blocking several images per step amortizes the
     per-grid-step pipeline overhead (with 1 image/step the dot is ~1 µs of
     MXU work against ~5 µs of step overhead — overhead-bound).
+
+    The kernel is mask-free: ray classes are pre-encoded into the per-ray
+    scalars by the impl (valid → real (s, c); invalid-but-real → s=c=0 so
+    both factors are exactly exp(0)=1, the reference's all-ones quirk;
+    padding → c=1e30, s=1 so fx is exactly 0). Valid-ray arithmetic is
+    bit-identical to the masked form — same expression, same op order.
 
     ``use_bf16``: feed the MXU bf16 factor tables (f32 accumulation) — the
     single-pass fast mode for ``precision="default"``; factors are in [0, 1]
@@ -84,7 +130,6 @@ def _splat_kernel(a_ref, b_ref, s_ref, c_ref, w_ref, gx_ref, gy_ref, out_ref,
     bb = b_ref[0, 0]
     s = s_ref[0, 0]
     c = c_ref[0, 0]
-    w = w_ref[0, 0]            # 0 = padding, 1 = invalid ray, 2 = valid ray
     gx = gx_ref[0, :]          # [res]
     gy = gy_ref[0, :]
 
@@ -92,13 +137,6 @@ def _splat_kernel(a_ref, b_ref, s_ref, c_ref, w_ref, gx_ref, gy_ref, out_ref,
     dy2 = (gy[None, None, :] - bb[..., None]) ** 2
     fx = jnp.exp(-(dx2 + c[..., None]) * s[..., None])
     fy = jnp.exp(-dy2 * s[..., None])
-
-    is_valid = (w[..., None] >= 1.5)
-    keep = (w[..., None] >= 0.5).astype(fx.dtype)
-    # invalid (but real) rays contribute the all-ones image (reference
-    # quirk); padding rays contribute zero.
-    fx = jnp.where(is_valid, fx, 1.0) * keep
-    fy = jnp.where(is_valid, fy, 1.0)
 
     if use_bf16:
         fx = fx.astype(jnp.bfloat16)
@@ -121,23 +159,30 @@ def _splat_kernel(a_ref, b_ref, s_ref, c_ref, w_ref, gx_ref, gy_ref, out_ref,
         out_ref[:, :, :] = out_ref[:, :, :] + tile
 
 
+def _compiler_params(tune):
+    limit = tune["vmem_limit_bytes"]
+    if limit is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
 def _splat_pallas_fwd_impl(
-    a, b, inv2s2, c_sq, valid, gx, gy, *, chunk: int = 512,
-    image_block: int = 8, vmem_budget: int = 12 * 2**20,
-    use_bf16: bool = False,
+    a, b, inv2s2, c_sq, valid, gx, gy, *, use_bf16: bool = False,
 ) -> jax.Array:
+    tune = TUNE["fwd"]
     B, N = a.shape
     res = gx.shape[0]
     # Fixed 512-deep contraction even for small N: a 512-deep MXU pass
     # amortizes weight loads; shrinking the chunk to the padded-N tile
     # (128) measured ~1.6x slower at N=50 (0.565 vs 0.351 ms/step).
+    chunk = tune["chunk"]
     n_chunks = pl.cdiv(N, chunk)
     Np = n_chunks * chunk
 
     # Image-block size: as many images per grid step as the VMEM budget
     # allows (fx + fy + out tile per image), capped at image_block.
     bytes_per_img = (2 * chunk * res + res * res) * 4
-    bs = max(1, min(image_block, vmem_budget // bytes_per_img))
+    bs = max(1, min(tune["image_block"], tune["vmem_budget"] // bytes_per_img))
     n_blocks = pl.cdiv(B, bs)
     Bp = n_blocks * bs
 
@@ -152,10 +197,14 @@ def _splat_pallas_fwd_impl(
         )
         return p.reshape(n_blocks, bs, n_chunks, chunk).transpose(0, 2, 1, 3)
 
-    # w: 2 = valid, 1 = invalid-but-real, 0 = padding (the pad fill covers
-    # both the heliostat padding and whole padded images).
-    w = pad(jnp.where(valid > 0, 2.0, 1.0))
-    a_p, b_p, s_p, c_p = pad(a), pad(b), pad(inv2s2), pad(c_sq)
+    # Ray classes encoded into (s, c) — see _splat_kernel's docstring:
+    # invalid-but-real rays get s=c=0 (⇒ all-ones factors, the reference
+    # quirk); padding gets c=1e30, s=1 (⇒ fx = exp(-1e30) = 0 exactly).
+    is_valid = valid > 0
+    a_p = pad(a)
+    b_p = pad(b)
+    s_p = pad(jnp.where(is_valid, inv2s2, 0.0), fill=1.0)
+    c_p = pad(jnp.where(is_valid, c_sq, 0.0), fill=_PAD_C)
 
     row = lambda i, j: (i, j, 0, 0)  # block index over (image-block, chunk) grid
     scalar_spec = pl.BlockSpec(
@@ -169,7 +218,6 @@ def _splat_pallas_fwd_impl(
             scalar_spec,
             scalar_spec,
             scalar_spec,
-            scalar_spec,
             pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -179,28 +227,33 @@ def _splat_pallas_fwd_impl(
         out_shape=jax.ShapeDtypeStruct((Bp, res, res), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * Np * res * res,
-            bytes_accessed=Bp * Np * 5 * 4 + Bp * res * res * 4,
+            bytes_accessed=Bp * Np * 4 * 4 + Bp * res * res * 4,
             transcendentals=2 * Bp * Np * res,
         ),
+        compiler_params=_compiler_params(tune),
         # CPU (tests/virtual meshes) runs the kernel in interpreter mode.
         interpret=jax.default_backend() == "cpu",
-    )(a_p, b_p, s_p, c_p, w, gx[None, :], gy[None, :])
+    )(a_p, b_p, s_p, c_p, gx[None, :], gy[None, :])
     return out[:B]
 
 
-def _splat_bwd_kernel(a_ref, b_ref, s_ref, c_ref, w_ref, gx_ref, gy_ref,
+def _splat_bwd_kernel(a_ref, b_ref, s_ref, c_ref, gx_ref, gy_ref,
                       g_ref, da_ref, db_ref, ds_ref, dc_ref, *,
                       use_bf16: bool):
     """Fused backward: recompute the chunk's factor tables in VMEM, turn the
     upstream image cotangent into factor cotangents with two batched MXU
     dots (``dfx = fy @ gᵀ``, ``dfy = fx @ g``), and chain to the per-ray
     scalars elementwise. Nothing but the [B, res, res] cotangent and the
-    [B, N] scalars ever touches HBM."""
+    [B, N] scalars ever touches HBM.
+
+    Mask-free like the forward: invalid/padding rays arrive with s=c=0, so
+    da/db (∝ s) and dc (∝ s) are automatically zero; only ds needs a final
+    zeroing, done on the [B, N] output outside the kernel (padding rows are
+    simply sliced off by unpad)."""
     a = a_ref[0, 0]            # [bs, Nc]
     bb = b_ref[0, 0]
     s = s_ref[0, 0]
     c = c_ref[0, 0]
-    w = w_ref[0, 0]
     gx = gx_ref[0, :]          # [res]
     gy = gy_ref[0, :]
     g = g_ref[:, :, :]         # [bs, res, res] upstream cotangent
@@ -226,34 +279,27 @@ def _splat_bwd_kernel(a_ref, b_ref, s_ref, c_ref, w_ref, gx_ref, gy_ref,
 
     px = dfx * fx
     py = dfy * fy
-    da = jnp.sum(px * dx, axis=-1) * 2.0 * s
-    db = jnp.sum(py * dy, axis=-1) * 2.0 * s
-    ds = -(jnp.sum(px * (dx * dx + c[..., None]), axis=-1)
-           + jnp.sum(py * (dy * dy), axis=-1))
-    dc = -s * jnp.sum(px, axis=-1)
-
-    # Invalid (constant-ones contribution) and padding rays get zero grads.
-    live = w >= 1.5
-    da_ref[0, 0] = jnp.where(live, da, 0.0)
-    db_ref[0, 0] = jnp.where(live, db, 0.0)
-    ds_ref[0, 0] = jnp.where(live, ds, 0.0)
-    dc_ref[0, 0] = jnp.where(live, dc, 0.0)
+    da_ref[0, 0] = jnp.sum(px * dx, axis=-1) * 2.0 * s
+    db_ref[0, 0] = jnp.sum(py * dy, axis=-1) * 2.0 * s
+    ds_ref[0, 0] = -(jnp.sum(px * (dx * dx + c[..., None]), axis=-1)
+                     + jnp.sum(py * (dy * dy), axis=-1))
+    dc_ref[0, 0] = -s * jnp.sum(px, axis=-1)
 
 
 def _splat_pallas_bwd_impl(
-    a, b, inv2s2, c_sq, valid, gx, gy, g, *, chunk: int = 512,
-    image_block: int = 8, vmem_budget: int = 12 * 2**20,
-    use_bf16: bool = False,
+    a, b, inv2s2, c_sq, valid, gx, gy, g, *, use_bf16: bool = False,
 ):
+    tune = TUNE["bwd"]
     B, N = a.shape
     res = gx.shape[0]
+    chunk = tune["chunk"]
     n_chunks = pl.cdiv(N, chunk)
     Np = n_chunks * chunk
 
     # fx/fy/dfx/dfy + elementwise temps dominate: ~8 chunk×res f32 buffers
     # per image, plus the res×res cotangent tile.
     bytes_per_img = (8 * chunk * res + res * res) * 4
-    bs = max(1, min(image_block, vmem_budget // bytes_per_img))
+    bs = max(1, min(tune["image_block"], tune["vmem_budget"] // bytes_per_img))
     n_blocks = pl.cdiv(B, bs)
     Bp = n_blocks * bs
 
@@ -263,8 +309,13 @@ def _splat_pallas_bwd_impl(
         p = jnp.pad(x, ((0, Bp - B), (0, Np - N)), constant_values=fill)
         return p.reshape(n_blocks, bs, n_chunks, chunk).transpose(0, 2, 1, 3)
 
-    w = pad(jnp.where(valid > 0, 2.0, 1.0))
-    a_p, b_p, s_p, c_p = pad(a), pad(b), pad(inv2s2), pad(c_sq)
+    # Invalid and padding rays both get s=c=0: every grad channel except ds
+    # is then zero by construction (∝ s); ds is re-masked below.
+    is_valid = valid > 0
+    a_p = pad(a)
+    b_p = pad(b)
+    s_p = pad(jnp.where(is_valid, inv2s2, 0.0))
+    c_p = pad(jnp.where(is_valid, c_sq, 0.0))
     g_p = jnp.pad(g, ((0, Bp - B), (0, 0), (0, 0)))
 
     row = lambda i, j: (i, j, 0, 0)
@@ -274,7 +325,7 @@ def _splat_pallas_bwd_impl(
         functools.partial(_splat_bwd_kernel, use_bf16=use_bf16),
         grid=(n_blocks, n_chunks),
         in_specs=[
-            scalar_spec, scalar_spec, scalar_spec, scalar_spec, scalar_spec,
+            scalar_spec, scalar_spec, scalar_spec, scalar_spec,
             pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bs, res, res), lambda i, j: (i, 0, 0),
@@ -284,16 +335,18 @@ def _splat_pallas_bwd_impl(
         out_shape=[out_sds, out_sds, out_sds, out_sds],
         cost_estimate=pl.CostEstimate(
             flops=4 * Bp * Np * res * res,
-            bytes_accessed=Bp * Np * 5 * 4 + Bp * res * res * 4,
+            bytes_accessed=Bp * Np * 4 * 4 + Bp * res * res * 4,
             transcendentals=2 * Bp * Np * res,
         ),
+        compiler_params=_compiler_params(tune),
         interpret=jax.default_backend() == "cpu",
-    )(a_p, b_p, s_p, c_p, w, gx[None, :], gy[None, :], g_p)
+    )(a_p, b_p, s_p, c_p, gx[None, :], gy[None, :], g_p)
 
     def unpad(x):
         return x.transpose(0, 2, 1, 3).reshape(Bp, Np)[:B, :N]
 
-    return unpad(da), unpad(db), unpad(ds), unpad(dc)
+    return (unpad(da), unpad(db),
+            jnp.where(is_valid, unpad(ds), 0.0), unpad(dc))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
