@@ -27,7 +27,14 @@ Fused fwd+bwd measures ≈0.54 ms at the north-star config.
 Both kernels are mask-free: per-element compare/select ops for the
 valid/invalid/padding ray classes were replaced by encoding the class
 into the per-ray scalars (see ``_splat_kernel``), worth ~25% on the
-VPU-bound forward (0.25 → 0.184 ms measured).
+VPU-bound forward (0.25 → 0.184 ms measured). The bf16 mode further
+uses a reduced-op table construction (``_splat_kernel_fast``: two FMAs
++ hardware ``exp2`` per element via a quadratic expansion of the
+Gaussian argument); the kernel is by then transcendental-bound
+(2·B·N·res ≈ 33.5M exps/render at the north-star config), so this is
+worth a further ~5-10% in context (splat ≈ 0.22 vs 0.25 ms inside the
+render). Shared-chip congestion moves absolute numbers by ±10-40% —
+A/B kernel variants within one sweep, never across sessions.
 
 Numerics match ``splat_factors`` + ``splat_image`` (including the
 reference's invalid-ray ⇒ all-ones-contribution quirk,
@@ -80,6 +87,8 @@ TUNE = {
 
 # exp(-_PAD_C) == 0 exactly in f32: padding rays contribute nothing.
 _PAD_C = 1e30
+
+_LOG2E = 1.4426950408889634  # log2(e): pre-scales s so the kernel calls exp2
 
 
 def splat_params(
@@ -159,6 +168,54 @@ def _splat_kernel(a_ref, b_ref, s_ref, c_ref, gx_ref, gy_ref, out_ref,
         out_ref[:, :, :] = out_ref[:, :, :] + tile
 
 
+def _splat_kernel_fast(px_ref, qx_ref, py_ref, qy_ref, r_ref, gx_ref, gy_ref,
+                       out_ref):
+    """Reduced-op forward for ``precision="default"`` (bf16 MXU mode).
+
+    The Gaussian argument is expanded around the grid coordinate:
+    ``-((g-a)² + c)·s·log2e = p·g - (r·g² + q)`` with per-ray scalars
+    ``p = 2s'a``, ``q = s'(a²+c)``, ``r = s'`` (``s' = s·log2e``), computed
+    once per ray on the host side. Each table element is then two FMAs +
+    one hardware ``exp2`` + a bf16 cast — versus sub/mul/add/mul/exp/cast
+    for the exact form — on a kernel that is VPU-bound. The expansion's
+    cancellation error in the argument is ≲1e-5 absolute for on-target
+    rays (|a| ≲ grid extent), invisible next to the bf16 factor
+    quantization (~1e-3 relative) this mode already accepts; rays with
+    large |a| have argument ≈ -a²·s' where fx underflows to 0 anyway.
+    Ray classes ride the same encoding as the exact kernel: invalid →
+    p=q=r=0 ⇒ exp2(0)=1 (all-ones quirk); padding → q=1e30 ⇒ fx=0."""
+    chunk = pl.program_id(1)
+
+    px = px_ref[0, 0]          # [bs, Nc]
+    qx = qx_ref[0, 0]
+    py = py_ref[0, 0]
+    qy = qy_ref[0, 0]
+    r = r_ref[0, 0]
+    gx = gx_ref[0, :]          # [res]
+    gy = gy_ref[0, :]
+
+    rr = r[..., None]
+    argx = px[..., None] * gx[None, None, :] - (
+        rr * (gx * gx)[None, None, :] + qx[..., None])
+    argy = py[..., None] * gy[None, None, :] - (
+        rr * (gy * gy)[None, None, :] + qy[..., None])
+    fx = jnp.exp2(argx).astype(jnp.bfloat16)
+    fy = jnp.exp2(argy).astype(jnp.bfloat16)
+
+    tile = jax.lax.dot_general(
+        fx, fy, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                               # [bs, res, res]
+
+    @pl.when(chunk == 0)
+    def _():
+        out_ref[:, :, :] = tile
+
+    @pl.when(chunk > 0)
+    def _():
+        out_ref[:, :, :] = out_ref[:, :, :] + tile
+
+
 def _compiler_params(tune):
     limit = tune["vmem_limit_bytes"]
     if limit is None:
@@ -197,27 +254,41 @@ def _splat_pallas_fwd_impl(
         )
         return p.reshape(n_blocks, bs, n_chunks, chunk).transpose(0, 2, 1, 3)
 
-    # Ray classes encoded into (s, c) — see _splat_kernel's docstring:
-    # invalid-but-real rays get s=c=0 (⇒ all-ones factors, the reference
-    # quirk); padding gets c=1e30, s=1 (⇒ fx = exp(-1e30) = 0 exactly).
     is_valid = valid > 0
-    a_p = pad(a)
-    b_p = pad(b)
-    s_p = pad(jnp.where(is_valid, inv2s2, 0.0), fill=1.0)
-    c_p = pad(jnp.where(is_valid, c_sq, 0.0), fill=_PAD_C)
+    if use_bf16:
+        # Fast mode: per-ray expansion coefficients for _splat_kernel_fast.
+        # Invalid-but-real rays get p=q=r=0 (⇒ exp2(0)=1 all-ones quirk);
+        # padding gets q=1e30, rest 0 (⇒ fx = exp2(-1e30) = 0 exactly).
+        s2 = jnp.where(is_valid, inv2s2 * _LOG2E, 0.0)
+        inputs = [
+            pad(2.0 * s2 * a),                      # px
+            pad(s2 * (a * a + c_sq), fill=_PAD_C),  # qx
+            pad(2.0 * s2 * b),                      # py
+            pad(s2 * (b * b)),                      # qy
+            pad(s2),                                # r
+        ]
+        kernel = _splat_kernel_fast
+    else:
+        # Exact mode — ray classes encoded into (s, c), see _splat_kernel's
+        # docstring: invalid-but-real rays get s=c=0 (⇒ all-ones factors,
+        # the reference quirk); padding gets c=1e30, s=1 (⇒ fx =
+        # exp(-1e30) = 0 exactly).
+        inputs = [
+            pad(a),
+            pad(b),
+            pad(jnp.where(is_valid, inv2s2, 0.0), fill=1.0),
+            pad(jnp.where(is_valid, c_sq, 0.0), fill=_PAD_C),
+        ]
+        kernel = functools.partial(_splat_kernel, use_bf16=False)
 
     row = lambda i, j: (i, j, 0, 0)  # block index over (image-block, chunk) grid
     scalar_spec = pl.BlockSpec(
         (1, 1, bs, chunk), row, memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        functools.partial(_splat_kernel, use_bf16=use_bf16),
+        kernel,
         grid=(n_blocks, n_chunks),
-        in_specs=[
-            scalar_spec,
-            scalar_spec,
-            scalar_spec,
-            scalar_spec,
+        in_specs=[scalar_spec] * len(inputs) + [
             pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -227,13 +298,13 @@ def _splat_pallas_fwd_impl(
         out_shape=jax.ShapeDtypeStruct((Bp, res, res), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * Np * res * res,
-            bytes_accessed=Bp * Np * 4 * 4 + Bp * res * res * 4,
+            bytes_accessed=Bp * Np * len(inputs) * 4 + Bp * res * res * 4,
             transcendentals=2 * Bp * Np * res,
         ),
         compiler_params=_compiler_params(tune),
         # CPU (tests/virtual meshes) runs the kernel in interpreter mode.
         interpret=jax.default_backend() == "cpu",
-    )(a_p, b_p, s_p, c_p, gx[None, :], gy[None, :])
+    )(*inputs, gx[None, :], gy[None, :])
     return out[:B]
 
 

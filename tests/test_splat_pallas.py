@@ -134,3 +134,33 @@ def test_render_auto_backend_matches_xla():
     ix, _, _ = render(scene, cfg_x, sun, normals, errors)
     ia, _, _ = render(scene, cfg_a, sun, normals, errors)
     np.testing.assert_allclose(np.asarray(ia), np.asarray(ix), rtol=0, atol=0)
+
+
+def test_forward_default_precision_close_to_exact():
+    # The bf16 fast path (exp2 + quadratic expansion, _splat_kernel_fast)
+    # trades ~1e-3 relative flux error for speed; it must stay within the
+    # bf16 quantization budget of the exact HIGHEST image, including with
+    # invalid rays and multi-chunk N.
+    args = _mk(B=2, N=530, res=64)
+    hi = np.asarray(_xla(*args))
+    lo = np.asarray(splat_summed_pallas(
+        *args[:5], 15.0, 15.0, args[6], 0.05, args[5], precision="default",
+    ))
+    rel = np.abs(lo - hi).max() / hi.max()
+    assert rel < 5e-3, rel
+
+
+def test_fast_path_invalid_ray_exact_ones():
+    # Invalid rays must contribute the exact all-ones image (reference
+    # quirk) in the fast encoding too: p=q=r=0 => exp2(0) == 1 exactly.
+    inter = jnp.ones((1, 1, 3)) * 5.0
+    origins = jnp.zeros((1, 1, 3))
+    valid = jnp.zeros((1, 1, 1))
+    pu = jnp.array([1.0, 0.0, 0.0])
+    pv = jnp.array([0.0, 0.0, 1.0])
+    po = jnp.array([0.0, -5.0, 0.0])
+    img = np.asarray(splat_summed_pallas(
+        inter, origins, po, pu, pv, 15.0, 15.0, 16, 0.05, valid,
+        precision="default",
+    ))
+    np.testing.assert_array_equal(img, np.ones((1, 16, 16), np.float32))
