@@ -85,7 +85,7 @@ def render(
 
     backend = cfg.splat_backend
     if backend == "auto":
-        backend = "pallas" if scene.heliostat_pos.shape[0] >= 256 else "xla"
+        backend = "pallas" if scene.heliostat_pos.shape[0] >= 400 else "xla"
     if backend == "pallas":
         from ..ops.splat_pallas import splat_summed_pallas
 

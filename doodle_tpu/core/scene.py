@@ -71,9 +71,13 @@ class FieldConfig:
     # full autodiff fusion), "pallas" (fused VMEM kernel — the factor
     # tables never hit HBM, forward or backward — the backward is a fused
     # kernel too, so no [B, N, res] cotangent tables either), or
-    # "auto" (pallas for N >= 256 heliostats where its deep-contraction
-    # grid wins — measured 201k vs 175k env-steps/s at N=500/256² — and
-    # xla below, where XLA's fusion wins — 82k vs 71k at N=50/128²).
+    # "auto" (pallas for N >= 400 heliostats, xla below). Crossover swept
+    # on v5e 2026-08-17 (env-step ms, xla vs pallas): N=500 pallas wins
+    # at both resolutions (0.37 vs 0.26 at 256²/B=128; 0.069 vs 0.047 at
+    # 128²/B=25); N<=256 xla wins at both (0.015 vs 0.066 at 256²,
+    # 0.004 vs 0.054 at 128²) — small factor tables make XLA's HBM
+    # roundtrip cheap while the kernel pays its fixed 512-deep chunk
+    # padding and per-grid-step overhead.
     splat_backend: str = "xla"
 
 

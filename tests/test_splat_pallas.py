@@ -119,7 +119,7 @@ def test_pallas_jit_and_vmap_compose():
 
 
 def test_render_auto_backend_matches_xla():
-    # "auto" resolves to xla below 256 heliostats and pallas at/above; both
+    # "auto" resolves to xla below 400 heliostats and pallas at/above; both
     # must agree with the xla reference path either way.
     pos = np.stack(
         [np.linspace(-10, 10, 6), np.full(6, 80.0), np.zeros(6)], axis=1
