@@ -81,7 +81,11 @@ TUNE = {
         "chunk": 128,
         "image_block": 8,
         "vmem_budget": 12 * 2**20,
-        "vmem_limit_bytes": None,
+        # The bwd working set at bs=8/chunk=128 sits within ~1% of
+        # Mosaic's default 16M scoped-vmem limit — N=600 (5 chunks)
+        # overflowed it by 156K at compile time. 32M keeps headroom
+        # (hardware VMEM is 128M); measured timing is unchanged.
+        "vmem_limit_bytes": 32 * 2**20,
     },
 }
 
@@ -223,16 +227,26 @@ def _compiler_params(tune):
     return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
+def _balanced_chunk(N: int, max_chunk: int) -> int:
+    """Contraction depth per grid step: balance N over the number of
+    max_chunk-deep passes it needs, rounded up to the 128-lane tile, so
+    the heliostat padding never exceeds one tile per chunk (a fixed
+    512-deep chunk wastes up to 70% of the exp work at e.g. N=600 →
+    Np=1024). Floored at 256: deep MXU passes amortize weight loads
+    (chunk=512 measured ~15% faster than 256 at N=500), and fields small
+    enough to care route to the XLA backend anyway."""
+    n_passes = -(-N // max_chunk)
+    per = -(-N // n_passes)
+    return min(max_chunk, max(256, -(-per // 128) * 128))
+
+
 def _splat_pallas_fwd_impl(
     a, b, inv2s2, c_sq, valid, gx, gy, *, use_bf16: bool = False,
 ) -> jax.Array:
     tune = TUNE["fwd"]
     B, N = a.shape
     res = gx.shape[0]
-    # Fixed 512-deep contraction even for small N: a 512-deep MXU pass
-    # amortizes weight loads; shrinking the chunk to the padded-N tile
-    # (128) measured ~1.6x slower at N=50 (0.565 vs 0.351 ms/step).
-    chunk = tune["chunk"]
+    chunk = _balanced_chunk(N, tune["chunk"])
     n_chunks = pl.cdiv(N, chunk)
     Np = n_chunks * chunk
 
