@@ -14,7 +14,13 @@ JAX-native differences:
   * the reference's ``hx=None`` first-call special case for the transformer
     head (``train_with_env.py:96-103``) is reproduced by an all-zeros initial
     residual state — ``last_token + 0`` ≡ the ``None`` branch;
-  * dropout takes an explicit ``'dropout'`` PRNG collection.
+  * dropout takes an explicit ``'dropout'`` PRNG collection;
+  * the module is split into :meth:`encode` (per-frame encoder) and
+    :meth:`head` (sequence head + output layers) so the rollout can cache
+    frame encodings across timesteps (each frame enters the k-history once
+    but the reference re-encodes it at every step it remains in the buffer —
+    identical math, k× the conv FLOPs; see ``train/rollout.py``).
+    :meth:`__call__` composes the two and is the reference-shaped entry.
 """
 
 from __future__ import annotations
@@ -120,7 +126,107 @@ class PolicyNet(nn.Module):
     # the MXU; None = f32). Heads/normals stay f32.
     encoder_dtype: str | None = None
 
-    @nn.compact
+    # Submodule attribute names intentionally match the auto-generated names
+    # of the original ``nn.compact`` formulation (``<ClassName>_<i>``) so the
+    # parameter tree — and therefore every existing checkpoint — is
+    # byte-identical to the pre-split module.
+    def setup(self) -> None:
+        arch = self.architecture.lower()
+        if self.encoder == "cnn":
+            self.CNNEncoder_0 = CNNEncoder(
+                out_dim=self.enc_dim, dropout=self.dropout,
+                dtype=self.encoder_dtype,
+            )
+        elif self.encoder == "com":
+            self.COMEncoder_0 = COMEncoder(
+                out_dim=self.enc_dim, dropout=self.dropout
+            )
+        else:
+            raise ValueError(f"unknown encoder {self.encoder!r}")
+
+        if arch == "lstm":
+            self.OptimizedLSTMCell_0 = nn.OptimizedLSTMCell(self.lstm_hid)
+        elif arch == "transformer":
+            self.TransformerEncoderLayer = tuple(
+                TransformerEncoderLayer(
+                    d_model=self.enc_dim,
+                    num_heads=self.transformer_heads,
+                    dim_feedforward=self.transformer_ff,
+                    dropout=self.dropout,
+                )
+                for _ in range(self.transformer_layers)
+            )
+        elif arch != "mlp":
+            raise ValueError(f"unknown architecture {self.architecture!r}")
+
+        self.LayerNorm_0 = nn.LayerNorm()
+        self.Dense_0 = nn.Dense(self.head_hidden)
+        self.Dropout_0 = nn.Dropout(self.dropout)
+        out_units = self.num_heliostats * (
+            2 if self.action_space == "angles" else 3
+        )
+        self.Dense_1 = nn.Dense(out_units)
+
+    # ------------------------------------------------------------------
+    def encode(
+        self, frames: jax.Array, *, deterministic: bool = True
+    ) -> jax.Array:
+        """Per-frame encoder: ``[M, H, W]`` (or NHWC) → ``[M, enc_dim]``.
+
+        Exposed so rollouts can encode each frame exactly once when it
+        enters the history buffer instead of re-encoding all k frames per
+        step. Within one rollout the params are constant and the history
+        frames are stop-gradient'ed, so caching is gradient-exact.
+        """
+        enc_mod = (
+            self.CNNEncoder_0 if self.encoder == "cnn" else self.COMEncoder_0
+        )
+        return enc_mod(frames, deterministic=deterministic)
+
+    # ------------------------------------------------------------------
+    def head(
+        self,
+        enc: jax.Array,    # [B, T, enc_dim] per-frame encodings (T = k)
+        aux: jax.Array,    # [B, aux_dim]
+        carry: Carry,
+        *,
+        deterministic: bool = True,
+    ) -> tuple[jax.Array, Carry]:
+        """Sequence head + output layers over pre-computed encodings."""
+        arch = self.architecture.lower()
+        B, T = enc.shape[:2]
+
+        if arch == "lstm":
+            new_carry = carry
+            out = None
+            for t in range(T):  # T is static (k ≤ ~4): unrolled at trace time
+                new_carry, out = self.OptimizedLSTMCell_0(new_carry, enc[:, t])
+            feat = out
+        elif arch == "transformer":
+            x = enc
+            for layer in self.TransformerEncoderLayer:
+                x = layer(x, deterministic=deterministic)
+            feat = x[:, -1, :] + carry   # residual state across env steps
+            new_carry = feat
+        else:  # mlp (setup rejects anything else)
+            feat = enc[:, -1, :]
+            new_carry = ()
+
+        h = jnp.concatenate([feat, aux], axis=-1)
+        h = self.LayerNorm_0(h)
+        h = self.Dense_0(h)
+        h = self.Dropout_0(h, deterministic=deterministic)
+        h = nn.gelu(h)
+        out = self.Dense_1(h)
+        if self.action_space == "angles":
+            angles = jnp.tanh(out) * self.angle_scale
+            return angles.reshape(B, self.num_heliostats, 2), new_carry
+        normals = out.reshape(B, self.num_heliostats, 3)
+        if self.normalize_output:
+            normals = normalize(normals)
+        return normals, new_carry
+
+    # ------------------------------------------------------------------
     def __call__(
         self,
         img_seq: jax.Array,   # [B, T, H, W] frame history (T = k)
@@ -132,59 +238,11 @@ class PolicyNet(nn.Module):
         """Returns ``(action, new_carry)``: ``[B, N, 3]`` unit mirror
         normals (``action_space="normals"``) or ``[B, N, 2]`` tanh-bounded
         E/U rotations in mrad (``action_space="angles"``)."""
-        arch = self.architecture.lower()
         B, T = img_seq.shape[:2]
-
-        if self.encoder == "cnn":
-            enc_mod = CNNEncoder(out_dim=self.enc_dim, dropout=self.dropout,
-                                 dtype=self.encoder_dtype)
-        elif self.encoder == "com":
-            enc_mod = COMEncoder(out_dim=self.enc_dim, dropout=self.dropout)
-        else:
-            raise ValueError(f"unknown encoder {self.encoder!r}")
-
         frames = img_seq.reshape(B * T, *img_seq.shape[2:])
-        enc = enc_mod(frames, deterministic=deterministic)
+        enc = self.encode(frames, deterministic=deterministic)
         enc = enc.reshape(B, T, self.enc_dim)
-
-        if arch == "lstm":
-            cell = nn.OptimizedLSTMCell(self.lstm_hid)
-            new_carry = carry
-            out = None
-            for t in range(T):  # T is static (k ≤ ~4): unrolled at trace time
-                new_carry, out = cell(new_carry, enc[:, t])
-            feat = out
-        elif arch == "transformer":
-            x = enc
-            for _ in range(self.transformer_layers):
-                x = TransformerEncoderLayer(
-                    d_model=self.enc_dim,
-                    num_heads=self.transformer_heads,
-                    dim_feedforward=self.transformer_ff,
-                    dropout=self.dropout,
-                )(x, deterministic=deterministic)
-            feat = x[:, -1, :] + carry   # residual state across env steps
-            new_carry = feat
-        elif arch == "mlp":
-            feat = enc[:, -1, :]
-            new_carry = ()
-        else:
-            raise ValueError(f"unknown architecture {self.architecture!r}")
-
-        h = jnp.concatenate([feat, aux], axis=-1)
-        h = nn.LayerNorm()(h)
-        h = nn.Dense(self.head_hidden)(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.gelu(h)
-        if self.action_space == "angles":
-            out = nn.Dense(self.num_heliostats * 2)(h)
-            angles = jnp.tanh(out) * self.angle_scale
-            return angles.reshape(B, self.num_heliostats, 2), new_carry
-        out = nn.Dense(self.num_heliostats * 3)(h)
-        normals = out.reshape(B, self.num_heliostats, 3)
-        if self.normalize_output:
-            normals = normalize(normals)
-        return normals, new_carry
+        return self.head(enc, aux, carry, deterministic=deterministic)
 
     # ------------------------------------------------------------------
     def init_carry(self, batch_size: int, dtype=jnp.float32) -> Carry:

@@ -41,6 +41,7 @@ def make_sharded_train_step(
     use_mean: bool = False,
     deterministic: bool = False,
     remat: bool = True,
+    encode_once: bool = True,
 ) -> Callable:
     """Build ``step(params, opt_state, env_state, key, weights) →
     (params, opt_state, env_state, loss, parts)`` jitted over the mesh.
@@ -68,6 +69,7 @@ def make_sharded_train_step(
                 policy, p, scene, env_cfg, env_state, key,
                 k=k, T=T, use_mean=use_mean,
                 deterministic=deterministic, remat=remat,
+                encode_once=encode_once,
             )
             parts = res.losses
             # where-guarded so a zero weight truly drops its term: with

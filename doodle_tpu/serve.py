@@ -43,6 +43,20 @@ class InferenceSession:
                 params, img, aux, carry, deterministic=True
             )
         )
+        # Incremental path: per-frame encoder + sequence head split, so a
+        # streaming control loop encodes each new flux image once instead of
+        # re-encoding the whole k-history every step (k× fewer CNN FLOPs —
+        # the encoder is ~99% of policy compute).
+        self._encode = jax.jit(
+            lambda params, img: self.policy.apply(
+                params, img, deterministic=True, method="encode"
+            )
+        )
+        self._head = jax.jit(
+            lambda params, enc, aux, carry: self.policy.apply(
+                params, enc, aux, carry, deterministic=True, method="head"
+            )
+        )
 
     # ------------------------------------------------------------------
     @classmethod
@@ -80,3 +94,32 @@ class InferenceSession:
         return self._apply(
             self.params, jnp.asarray(img_history), jnp.asarray(aux), carry
         )
+
+    # ------------------------------------------------------------------
+    # Streaming control: encode each incoming frame once and carry the
+    # [B, k, enc_dim] encodings, instead of shipping + re-encoding the full
+    # raw k-frame history every call. Identical outputs to :meth:`control`
+    # fed the equivalent history (deterministic policy, constant params).
+    def init_stream(self, k: int, resolution: int):
+        """Stream state for :meth:`control_stream`: encodings of the k-1
+        zero frames the rollout convention seeds the history with, plus the
+        recurrent carry."""
+        e_zero = self._encode(
+            self.params, jnp.zeros((1, resolution, resolution))
+        )
+        enc_hist = jnp.broadcast_to(
+            e_zero[:, None, :], (self.batch_size, k, e_zero.shape[-1])
+        )
+        return enc_hist, self.init_carry()
+
+    def control_stream(self, img, aux, stream_state):
+        """One streaming control step: ``([B, res, res], [B, aux], state) →
+        (action, state)``. The new frame enters the history (last slot),
+        then the head runs over the carried encodings."""
+        enc_hist, carry = stream_state
+        e = self._encode(self.params, jnp.asarray(img))
+        enc_hist = jnp.roll(enc_hist, -1, axis=1).at[:, -1].set(e)
+        action, carry = self._head(
+            self.params, enc_hist, jnp.asarray(aux), carry
+        )
+        return action, (enc_hist, carry)

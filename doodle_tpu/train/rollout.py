@@ -12,6 +12,22 @@ Autodiff semantics match the reference exactly:
     through the *current* action's ``env.step``);
   * the recurrent carry is NOT detached, so final-step losses backprop
     through the carry chain into earlier policy applications.
+
+``encode_once=True`` (default): each frame is encoded exactly once, when it
+enters the history buffer, and the scan carries the ``[B, k, enc_dim]``
+encodings instead of the ``[B, k, res, res]`` raw frames. The reference
+re-encodes all k frames at every step; because the policy params are
+constant within a rollout and the frames are stop-gradient'ed, re-encoding
+recomputes the *same value* — by linearity of the chain rule the summed
+parameter gradients are identical, so encode-once is gradient-exact while
+cutting the CNN FLOPs (the dominant train-step cost at reference configs)
+by k× and shrinking the remat-saved scan carry from O(B·k·res²) to
+O(B·k·enc_dim). The only behavioral delta is under dropout: the reference
+draws a fresh encoder mask per (step, frame) while encode-once fixes one
+mask per frame — a different but equally valid stochastic estimator.
+``encode_once=False`` reproduces the reference's re-encoding schedule
+exactly (and is what the TTT rollout uses, since its history is
+deliberately NOT always detached — see ``train/ttt.py``).
 """
 
 from __future__ import annotations
@@ -30,7 +46,9 @@ __all__ = ["RolloutResult", "rollout"]
 class RolloutResult(NamedTuple):
     losses: dict[str, jax.Array]    # final-step (or running-mean) loss dict
     final_img: jax.Array            # [B, res, res] last rendered flux image
-    hist: jax.Array                 # [B, k, res, res] final history buffer
+    hist: jax.Array | None          # [B, k, res, res] final history buffer
+                                    # (None under encode_once — raw frames
+                                    # are never materialized as a buffer)
     mse_over_t: jax.Array           # [T]
     monitor: dict[str, jax.Array]   # last step's monitor payload
     env_state: env_lib.EnvState     # post-reset env state (thread back in)
@@ -48,6 +66,7 @@ def rollout(
     use_mean: bool = False,
     deterministic: bool = True,
     remat: bool = True,
+    encode_once: bool = True,
 ) -> RolloutResult:
     """Reset the env, run T policy/env steps, return the loss dict.
 
@@ -61,17 +80,52 @@ def rollout(
     instead of being stored — without it the residuals are
     O(T · B · k · res² · channels) and blow HBM at reference configs. The
     classic TPU trade: spend MXU FLOPs to save HBM.
+
+    ``encode_once``: cache per-frame encodings across steps (see module
+    docstring). Gradient-exact; bitwise-equivalent forward in deterministic
+    mode up to conv-batching order.
     """
     B = cfg.batch_size
     res = cfg.resolution
-    k_reset, k_drop = jax.random.split(key)
+    k_reset, k_drop, k_enc0 = jax.random.split(key, 3)
 
     state, obs = env_lib.reset(scene, cfg, state, k_reset)
     img = jax.lax.stop_gradient(obs["img"])
     aux = jax.lax.stop_gradient(obs["aux"])
 
-    hist0 = jnp.zeros((B, k, res, res), img.dtype).at[:, -1].set(img)
     carry0 = policy.init_carry(B)
+
+    def apply_policy(net_in, pcarry, key_t):
+        rngs = None if deterministic else {"dropout": key_t}
+        return policy.apply(
+            params, net_in, aux, pcarry,
+            deterministic=deterministic,
+            **({"rngs": rngs} if rngs else {}),
+            **({"method": "head"} if encode_once else {}),
+        )
+
+    def encode(frames, key_t):
+        rngs = None if deterministic else {"dropout": key_t}
+        return policy.apply(
+            params, frames,
+            deterministic=deterministic,
+            method="encode",
+            **({"rngs": rngs} if rngs else {}),
+        )
+
+    if encode_once:
+        # Seed the encoding buffer: the k-1 leading zero frames all encode
+        # to the same vector (encode one and broadcast — the broadcast's
+        # transpose sums the per-use cotangents, matching per-frame
+        # re-encoding), the last slot is the reset image's encoding.
+        ka, kb = jax.random.split(k_enc0)
+        e_zero = encode(jnp.zeros((1, res, res), img.dtype), ka)
+        e_img = encode(img, kb)
+        hist0 = jnp.broadcast_to(
+            e_zero[:, None, :], (B, k, e_zero.shape[-1])
+        ).at[:, -1].set(e_img)
+    else:
+        hist0 = jnp.zeros((B, k, res, res), img.dtype).at[:, -1].set(img)
 
     # Template monitor so the scan carry has a fixed structure.
     monitor0 = {
@@ -93,24 +147,28 @@ def rollout(
 
     def scan_step(carry, key_t):
         hist, pcarry, mean_losses, _, _ = carry
-        net_in = jax.lax.stop_gradient(hist)
-        rngs = None if deterministic else {"dropout": key_t}
-        action, pcarry = policy.apply(
-            params, net_in, aux, pcarry,
-            deterministic=deterministic,
-            **({"rngs": rngs} if rngs else {}),
-        )
+        k_head, k_enc = jax.random.split(key_t)
+        # encode_once: the carried encodings stay differentiable w.r.t.
+        # params (the reference's fresh re-encode of detached frames routes
+        # the same param gradients); the raw-frame path stop-grads the
+        # buffer and lets the policy re-encode, exactly like ref :193.
+        net_in = hist if encode_once else jax.lax.stop_gradient(hist)
+        action, pcarry = apply_policy(net_in, pcarry, k_head)
         obs_t, losses, monitor = env_lib.step(scene, cfg, state, action)
         new_img = obs_t["img"]
-        hist = jnp.roll(hist, -1, axis=1).at[:, -1].set(
-            jax.lax.stop_gradient(new_img)
+        new_entry = (
+            encode(jax.lax.stop_gradient(new_img), k_enc)
+            if encode_once
+            else jax.lax.stop_gradient(new_img)
         )
+        hist = jnp.roll(hist, -1, axis=1).at[:, -1].set(new_entry)
         if use_mean:
             mean_losses = jax.tree.map(
                 lambda acc, v: acc + v / T, mean_losses, losses
             )
         return (
-            (hist, pcarry, mean_losses, new_img, monitor),
+            (hist, pcarry, mean_losses,
+             jax.lax.stop_gradient(new_img), monitor),
             (losses["mse"], losses),
         )
 
@@ -119,7 +177,7 @@ def rollout(
     (hist, _, mean_losses, final_img, monitor), (mse_over_t, last_losses) = (
         jax.lax.scan(
             body,
-            (hist0, carry0, zero_losses, img, monitor0),
+            (hist0, carry0, zero_losses, jax.lax.stop_gradient(img), monitor0),
             step_keys,
         )
     )
@@ -132,7 +190,7 @@ def rollout(
     return RolloutResult(
         losses=losses,
         final_img=final_img,
-        hist=hist,
+        hist=None if encode_once else hist,
         mse_over_t=mse_over_t,
         monitor=monitor,
         env_state=state,

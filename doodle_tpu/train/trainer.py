@@ -108,6 +108,11 @@ class TrainConfig:
     # True reproduces the frozen behavior; False enables the documented
     # pretrain→warmup→blend schedule.
     alignment_always: bool = False
+    # Encode each frame once when it enters the k-history instead of
+    # re-encoding all k frames per step (train/rollout.py): gradient-exact,
+    # k× fewer CNN FLOPs. False reproduces the reference's re-encoding
+    # schedule (fresh dropout mask per step×frame).
+    encode_once: bool = True
     precision: str = "default"
     # Splat backend for all envs: "auto" picks the fused Pallas kernel for
     # large fields and the XLA separable path below (see FieldConfig).
@@ -317,6 +322,7 @@ def train_and_eval(
                     policy, p, scene, env_cfg, s, k,
                     k=cfg.k, T=cfg.T,
                     use_mean=cfg.use_mean, deterministic=False,
+                    encode_once=cfg.encode_once,
                 )
             )(states, keys)
             parts = jax.tree.map(jnp.mean, results.losses)   # mean over envs
@@ -343,14 +349,21 @@ def train_and_eval(
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         new_states = results.env_state
-        return (params, opt_state, new_states, loss, parts, results,
-                grad_norm, grad_means)
+        # One stacked scalar vector so the host loop pays ONE device→host
+        # fetch per step instead of five (each float() is a ~30-40 ms
+        # round trip through the axon tunnel).
+        scalars = jnp.stack([
+            loss, parts["alignment_loss"], parts["bound"],
+            parts["mse"], parts["dist"], grad_norm,
+        ])
+        return (params, opt_state, new_states, scalars, results, grad_means)
 
     @jax.jit
     def eval_step(params, state, key):
         return rollout(
             policy, params, scene, test_cfg, state, key,
             k=cfg.k, T=cfg.T, deterministic=True,
+            encode_once=cfg.encode_once,
         )
 
     # ---- scheduler machinery (host-side, like the reference)
@@ -407,13 +420,16 @@ def train_and_eval(
     for step_i in range(start_step, cfg.steps + pretrain):
         run_key, k_step, k_eval = jax.random.split(run_key, 3)
         weights = _loss_weights(cfg, cfg.num_batches * step_i, last_bound)
-        (params, opt_state, train_states, loss, parts, results,
-         grad_norm, grad_means) = train_step(
+        (params, opt_state, train_states, scalars, results,
+         grad_means) = train_step(
             params, opt_state, train_states, k_step, jnp.asarray(weights)
         )
 
-        loss_f = float(loss)
-        last_bound = float(parts["bound"])
+        # Single device→host fetch for all per-step scalars.
+        loss_f, align_f, bound_f, mse_f, dist_f, gnorm_f = (
+            float(v) for v in np.asarray(scalars)
+        )
+        last_bound = bound_f
 
         if not math.isfinite(loss_f):
             print(f"NaN/Inf loss at step {step_i} (lr {lr:.2e}); bailing out")
@@ -423,16 +439,16 @@ def train_and_eval(
 
         # scheduler starts after pretrain+warmup (ref :385-394)
         if cfg.num_batches * step_i > cfg.warmup_steps + pretrain:
-            lr = next_lr(float(parts["mse"]))
+            lr = next_lr(mse_f)
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
         if writer is not None:
             writer.add_scalar("loss/total", loss_f, step_i)
-            writer.add_scalar("loss/mse", float(parts["mse"]), step_i)
-            writer.add_scalar("loss/dist", float(parts["dist"]), step_i)
-            writer.add_scalar("loss/bound", last_bound, step_i)
+            writer.add_scalar("loss/mse", mse_f, step_i)
+            writer.add_scalar("loss/dist", dist_f, step_i)
+            writer.add_scalar("loss/bound", bound_f, step_i)
             writer.add_scalar("hyperparams/lr", lr, step_i)
-            writer.add_scalar("gradients/global_norm", float(grad_norm), step_i)
+            writer.add_scalar("gradients/global_norm", gnorm_f, step_i)
             if step_i % cfg.eval_every == 0:
                 for name, gm in grad_means.items():
                     writer.add_scalar(f"gradients/{name}", float(gm), step_i)
@@ -444,24 +460,29 @@ def train_and_eval(
         if step_i % cfg.log_every == 0 or step_i == cfg.steps - 1:
             print(
                 f"Step {step_i} | loss {loss_f:.4f} | "
-                f"mse_train {float(parts['mse']):.2e} | "
-                f"alignment_train {float(parts['alignment_loss']):.2e} | "
+                f"mse_train {mse_f:.2e} | "
+                f"alignment_train {align_f:.2e} | "
                 f"lr {lr:.6f} | {time.time() - t_start:.0f}s"
             )
 
         if step_i % cfg.eval_every == 0 or step_i == cfg.steps - 1:
             test = eval_step(params, test_state, k_eval)
-            test_mse = float(test.losses["mse"])
+            test_mse, test_bound, test_align = (
+                float(v) for v in np.asarray(jnp.stack([
+                    test.losses["mse"], test.losses["bound"],
+                    test.losses["alignment_loss"],
+                ]))
+            )
             last_mse = test_mse
             best_mse = test_mse if best_mse is None else min(best_mse, test_mse)
             print(
                 f"[{step_i:4d}] test_mse {test_mse:.2e} "
-                f"test_bound {float(test.losses['bound']):.2e} "
-                f"test_alignment {float(test.losses['alignment_loss']):.2e}"
+                f"test_bound {test_bound:.2e} "
+                f"test_alignment {test_align:.2e}"
             )
             if writer is not None:
                 writer.add_scalar("mse/test", test_mse, step_i)
-                writer.add_scalar("bound/test", float(test.losses["bound"]), step_i)
+                writer.add_scalar("bound/test", test_bound, step_i)
                 if hasattr(writer, "add_images"):
                     imgs = np.asarray(results.final_img[0])[:, None]
                     rng_ = max(
@@ -493,8 +514,8 @@ def train_and_eval(
                 step_i,
                 {
                     "loss": loss_f,
-                    "mse": float(parts["mse"]),
-                    "bound": last_bound,
+                    "mse": mse_f,
+                    "bound": bound_f,
                     "lr": lr,
                     "test_mse": last_mse,
                 },

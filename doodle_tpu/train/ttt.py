@@ -425,7 +425,13 @@ def ttt_train_and_eval(
         )(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, new_states, loss, parts
+        # One stacked scalar vector → one device→host fetch per step
+        # (each float() costs a ~30-40 ms axon-tunnel round trip).
+        scalars = jnp.stack([
+            loss, parts["alignment_loss"], parts["bound"],
+            parts["mse"], parts["dist"],
+        ])
+        return params, opt_state, new_states, scalars
 
     collect = cfg.dump_dir is not None
 
@@ -522,11 +528,13 @@ def ttt_train_and_eval(
     for step_i in range(start_step, cfg.steps + pretrain):
         run_key, k_step, k_ev = jax.random.split(run_key, 3)
         weights = _loss_weights(cfg, cfg.num_batches * step_i, last_bound)
-        params, opt_state, train_states, loss, parts = train_step(
+        params, opt_state, train_states, scalars = train_step(
             params, opt_state, train_states, k_step, jnp.asarray(weights)
         )
-        loss_f = float(loss)
-        last_bound = float(parts["bound"])
+        loss_f, align_f, bound_f, mse_f, dist_f = (
+            float(v) for v in np.asarray(scalars)
+        )
+        last_bound = bound_f
         # Advantage baseline (ref :579-588): value-level only — subtracting a
         # detached scalar does not change gradients.
         objective = loss_f if prev_loss is None else loss_f - prev_loss
@@ -540,7 +548,7 @@ def ttt_train_and_eval(
         if cfg.num_batches * step_i > cfg.warmup_steps + pretrain:
             sched_count += 1
             if cfg.scheduler == "plateau":
-                lr = plateau.step(float(parts["mse"]))
+                lr = plateau.step(mse_f)
             elif cfg.scheduler == "cyclic":
                 lr = float(cyc(sched_count))
             elif cfg.scheduler == "exp":
@@ -550,16 +558,16 @@ def ttt_train_and_eval(
         if writer is not None:
             writer.add_scalar("loss/total", loss_f, step_i)
             writer.add_scalar("loss/objective", objective, step_i)
-            writer.add_scalar("loss/mse", float(parts["mse"]), step_i)
-            writer.add_scalar("loss/dist", float(parts["dist"]), step_i)
-            writer.add_scalar("loss/bound", last_bound, step_i)
+            writer.add_scalar("loss/mse", mse_f, step_i)
+            writer.add_scalar("loss/dist", dist_f, step_i)
+            writer.add_scalar("loss/bound", bound_f, step_i)
             writer.add_scalar("hyperparams/lr", lr, step_i)
 
         if step_i % cfg.log_every == 0 or step_i == cfg.steps - 1:
             print(
                 f"Step {step_i} | loss {loss_f:.4f} | obj {objective:.4f} | "
-                f"mse {float(parts['mse']):.2e} | "
-                f"align {float(parts['alignment_loss']):.2e} | lr {lr:.6f} | "
+                f"mse {mse_f:.2e} | "
+                f"align {align_f:.2e} | lr {lr:.6f} | "
                 f"{time.time() - t_start:.0f}s"
             )
 

@@ -78,44 +78,46 @@ def mk_pg():
     return loop
 
 
-# 3. rollout forward only (T env steps + T policy applies, remat'd scan)
-def mk_rf():
+# 3. rollout forward only (T env steps + T policy applies, remat'd scan);
+#    once=True caches per-frame encodings (k× fewer CNN FLOPs), once=False
+#    is the reference re-encoding schedule.
+def mk_rf(once):
     @jax.jit
     def loop(keys):
         def body(acc, kk):
             r = rollout(policy, params, scene, cfg, state, kk, k=K, T=T,
-                        deterministic=False)
+                        deterministic=False, encode_once=once)
             return acc + r.losses["mse"], None
         return jax.lax.scan(body, 0.0, keys)[0]
     return loop
 
 
 # 4. rollout fwd+bwd (the trainer's loss_fn gradient)
-def loss_fn(p, kk):
+def loss_fn(p, kk, once):
     r = rollout(policy, p, scene, cfg, state, kk, k=K, T=T,
-                deterministic=False)
+                deterministic=False, encode_once=once)
     terms = jnp.stack([r.losses["alignment_loss"], r.losses["bound"],
                        r.losses["mse"], r.losses["dist"]])
     return jnp.sum(jnp.where(weights != 0, weights * terms, 0.0))
 
 
-def mk_rg():
+def mk_rg(once):
     @jax.jit
     def loop(keys):
         def body(acc, kk):
-            g = jax.grad(loss_fn)(params, kk)
+            g = jax.grad(loss_fn)(params, kk, once)
             return acc + jax.tree.leaves(g)[0].sum(), None
         return jax.lax.scan(body, 0.0, keys)[0]
     return loop
 
 
 # 5. full train step (grad + clip + AdamP), params threaded through reps
-def mk_ts():
+def mk_ts(once):
     @jax.jit
     def loop(keys):
         def body(carry, kk):
             p, os_ = carry
-            loss, g = jax.value_and_grad(loss_fn)(p, kk)
+            loss, g = jax.value_and_grad(loss_fn)(p, kk, once)
             up, os_ = opt.update(g, os_, p)
             return (optax.apply_updates(p, up), os_), loss
         (p, _), losses = jax.lax.scan(body, (params, opt_state), keys)
@@ -123,8 +125,13 @@ def mk_ts():
     return loop
 
 
+import functools
+
 report("policy fwd", mk_pf, 10, 60)
 report("policy fwd+bwd", mk_pg, 10, 60)
-report("rollout fwd (T=4)", mk_rf, 5, 30)
-report("rollout fwd+bwd", mk_rg, 3, 15)
-report("train step (+AdamP)", mk_ts, 3, 15)
+report("rollout fwd reencode", functools.partial(mk_rf, False), 5, 30)
+report("rollout fwd enc-once", functools.partial(mk_rf, True), 5, 30)
+report("rollout bwd reencode", functools.partial(mk_rg, False), 3, 15)
+report("rollout bwd enc-once", functools.partial(mk_rg, True), 3, 15)
+report("train step reencode", functools.partial(mk_ts, False), 3, 15)
+report("train step enc-once", functools.partial(mk_ts, True), 3, 15)

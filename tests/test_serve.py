@@ -67,6 +67,32 @@ def test_session_drives_env_closed_loop(tmp_path):
         assert np.isfinite(float(metrics["mse"]))
 
 
+def test_control_stream_matches_control(tmp_path):
+    """The streaming (encode-once) control path must produce the same
+    actions as the reference-shaped full-history path fed the equivalent
+    frame window."""
+    cfg = _tiny_cfg(tmp_path)
+    train_and_eval(cfg)
+    session = InferenceSession.from_checkpoint(
+        str(tmp_path / "ck"), num_heliostats=4, batch_size=3,
+        policy_kwargs=dict(architecture="lstm", dropout=0.0),
+    )
+    key = jax.random.PRNGKey(3)
+    frames = jax.random.uniform(key, (4, 3, 16, 16))   # 4 incoming frames
+
+    carry = session.init_carry()
+    stream = session.init_stream(k=2, resolution=16)
+    hist = jnp.zeros((3, 2, 16, 16))
+    for t in range(4):
+        hist = jnp.roll(hist, -1, axis=1).at[:, -1].set(frames[t])
+        aux = jnp.full((3, 3 + 12), 0.1 * t)
+        a_full, carry = session.control(hist, aux, carry)
+        a_stream, stream = session.control_stream(frames[t], aux, stream)
+        np.testing.assert_allclose(
+            np.asarray(a_full), np.asarray(a_stream), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_hpo_end_to_end_through_trainer(tmp_path):
     """random_search driving real (tiny) train_and_eval runs."""
     from doodle_tpu.hpo import random_search

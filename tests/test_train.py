@@ -43,12 +43,49 @@ def test_rollout_shapes(tiny):
                   k=2, T=3)
     assert isinstance(res, RolloutResult)
     assert res.final_img.shape == (4, 16, 16)
-    assert res.hist.shape == (4, 2, 16, 16)
+    assert res.hist is None          # encode_once: raw frames never buffered
     assert res.mse_over_t.shape == (3,)
     for name in ("mse", "dist", "bound", "alignment_loss"):
         assert res.losses[name].shape == ()
         assert np.isfinite(float(res.losses[name]))
     assert res.monitor["normals"].shape == (4, 5, 3)
+    # reference-shaped path materializes the raw-frame history buffer
+    ref = rollout(policy, params, scene, cfg, state, jax.random.PRNGKey(2),
+                  k=2, T=3, encode_once=False)
+    assert ref.hist.shape == (4, 2, 16, 16)
+
+
+def test_rollout_encode_once_matches_reencode(tiny):
+    """encode_once caches each frame's encoding instead of re-encoding all
+    k frames per step. With constant params and detached frames this is the
+    same math: forward outputs AND parameter gradients must match the
+    reference re-encoding schedule (deterministic mode; dropout would draw
+    masks on different schedules)."""
+    scene, cfg, state, policy, params = tiny
+    key = jax.random.PRNGKey(7)
+    a = rollout(policy, params, scene, cfg, state, key, k=2, T=3,
+                encode_once=True)
+    b = rollout(policy, params, scene, cfg, state, key, k=2, T=3,
+                encode_once=False)
+    np.testing.assert_allclose(
+        np.asarray(a.final_img), np.asarray(b.final_img), rtol=1e-5, atol=1e-6
+    )
+    for name in ("mse", "dist", "bound", "alignment_loss"):
+        np.testing.assert_allclose(
+            float(a.losses[name]), float(b.losses[name]), rtol=1e-5
+        )
+
+    def loss(p, once):
+        r = rollout(policy, p, scene, cfg, state, key, k=2, T=3,
+                    encode_once=once)
+        return r.losses["alignment_loss"] + r.losses["mse"]
+
+    ga = jax.grad(lambda p: loss(p, True))(params)
+    gb = jax.grad(lambda p: loss(p, False))(params)
+    for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=2e-4, atol=1e-7
+        )
 
 
 def test_rollout_use_mean_differs_from_final(tiny):
