@@ -113,6 +113,11 @@ class TrainConfig:
     # k× fewer CNN FLOPs. False reproduces the reference's re-encoding
     # schedule (fresh dropout mask per step×frame).
     encode_once: bool = True
+    # Overlap the per-step device→host scalar fetch + host work with the
+    # next step's device compute (dispatch-then-process). Scheduler and
+    # boundary-phase weights react one step later than the reference's
+    # serial loop; False restores strictly serial sequencing.
+    pipeline_host: bool = True
     precision: str = "default"
     # Splat backend for all envs: "auto" picks the fused Pallas kernel for
     # large fields and the XLA separable path below (see FieldConfig).
@@ -417,13 +422,22 @@ def train_and_eval(
             )
             print(f"resumed from {latest} at step {start_step}")
 
-    for step_i in range(start_step, cfg.steps + pretrain):
-        run_key, k_step, k_eval = jax.random.split(run_key, 3)
-        weights = _loss_weights(cfg, cfg.num_batches * step_i, last_bound)
-        (params, opt_state, train_states, scalars, results,
-         grad_means) = train_step(
-            params, opt_state, train_states, k_step, jnp.asarray(weights)
-        )
+    def process(item) -> bool:
+        """Consume one completed step's outputs (fetch scalars, scheduler,
+        logging, eval, checkpoint). Returns True on NaN abort.
+
+        Under ``pipeline_host`` this runs AFTER the next step has been
+        dispatched, so the ~35 ms device→host fetch and all host work
+        overlap the device compute. Consequences: the scheduler and the
+        boundary-phase weights react one step later than the reference's
+        strictly serial loop (negligible at reference decay rates and
+        exactly zero under the shipped ``alignment_always`` behavior, whose
+        weights are constant), and a NaN bailout wastes one extra
+        already-dispatched step.
+        """
+        nonlocal lr, last_bound, last_mse, best_mse
+        (step_i, scalars, results, grad_means, p_params, p_opt_state,
+         p_states, k_eval) = item
 
         # Single device→host fetch for all per-step scalars.
         loss_f, align_f, bound_f, mse_f, dist_f, gnorm_f = (
@@ -433,11 +447,10 @@ def train_and_eval(
 
         if not math.isfinite(loss_f):
             print(f"NaN/Inf loss at step {step_i} (lr {lr:.2e}); bailing out")
-            if last_mse is not None:
-                return best_mse if return_best_mse else last_mse
-            return math.nan
+            return True
 
-        # scheduler starts after pretrain+warmup (ref :385-394)
+        # scheduler starts after pretrain+warmup (ref :385-394); mutates the
+        # LIVE opt_state (the one feeding the next dispatch), not the stash.
         if cfg.num_batches * step_i > cfg.warmup_steps + pretrain:
             lr = next_lr(mse_f)
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
@@ -466,7 +479,7 @@ def train_and_eval(
             )
 
         if step_i % cfg.eval_every == 0 or step_i == cfg.steps - 1:
-            test = eval_step(params, test_state, k_eval)
+            test = eval_step(p_params, test_state, k_eval)
             test_mse, test_bound, test_align = (
                 float(v) for v in np.asarray(jnp.stack([
                     test.losses["mse"], test.losses["bound"],
@@ -486,12 +499,12 @@ def train_and_eval(
                 if hasattr(writer, "add_images"):
                     imgs = np.asarray(results.final_img[0])[:, None]
                     rng_ = max(
-                        float(train_states.ref_max[0] - train_states.ref_min[0]),
+                        float(p_states.ref_max[0] - p_states.ref_min[0]),
                         1e-6,
                     )
                     writer.add_images(
                         "Predicted/normalized_heatmaps",
-                        (imgs - float(train_states.ref_min[0])) / rng_,
+                        (imgs - float(p_states.ref_min[0])) / rng_,
                         step_i,
                     )
 
@@ -505,7 +518,7 @@ def train_and_eval(
 
             save_checkpoint(
                 str(pathlib.Path(cfg.checkpoint_dir) / "latest"),
-                {"params": params, "opt_state": opt_state,
+                {"params": p_params, "opt_state": p_opt_state,
                  "step": jnp.asarray(step_i), "lr": jnp.asarray(lr)},
             )
 
@@ -520,7 +533,34 @@ def train_and_eval(
                     "test_mse": last_mse,
                 },
             )
+        return False
+
+    pending = None
+    aborted = False
+    for step_i in range(start_step, cfg.steps + pretrain):
+        run_key, k_step, k_eval = jax.random.split(run_key, 3)
+        weights = _loss_weights(cfg, cfg.num_batches * step_i, last_bound)
+        (params, opt_state, train_states, scalars, results,
+         grad_means) = train_step(
+            params, opt_state, train_states, k_step, jnp.asarray(weights)
+        )
+        item = (step_i, scalars, results, grad_means, params, opt_state,
+                train_states, k_eval)
+        if cfg.pipeline_host:
+            # Dispatch-then-process: the fetch inside process() waits on the
+            # PREVIOUS step, which the device finishes while this one runs.
+            item, pending = pending, item
+            if item is None:
+                continue
+        aborted = process(item)
+        if aborted:
+            pending = None
+            break
+    if pending is not None:
+        aborted = process(pending)
 
     if writer is not None and hasattr(writer, "close"):
         writer.close()
+    if aborted and last_mse is None:
+        return math.nan
     return best_mse if return_best_mse else last_mse

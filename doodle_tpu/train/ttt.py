@@ -337,6 +337,14 @@ def ttt_train_and_eval(
         )
 
     angles, (ex_az, ex_el), (in_az, in_el) = _curriculum_angles(cfg)
+    if writer is not None and hasattr(writer, "log_params"):
+        # The reference logs the sun-curriculum geometry into MLflow params
+        # (ttt :500-513) so runs are identifiable by their sun setup.
+        writer.log_params({
+            "train_sun_angles_azel": angles,
+            "extrapolation_angles_azel": (ex_az, ex_el),
+            "interpolation_angles_azel": (in_az, in_el),
+        })
     env_keys = jax.random.split(k_env, cfg.num_batches + 2)
     base_cfg = env_cfg_for(
         angles[0][0], angles[0][1], cfg.batch_size,
@@ -525,12 +533,12 @@ def ttt_train_and_eval(
             )
             print(f"resumed from {latest} at step {start_step}")
 
-    for step_i in range(start_step, cfg.steps + pretrain):
-        run_key, k_step, k_ev = jax.random.split(run_key, 3)
-        weights = _loss_weights(cfg, cfg.num_batches * step_i, last_bound)
-        params, opt_state, train_states, scalars = train_step(
-            params, opt_state, train_states, k_step, jnp.asarray(weights)
-        )
+    def process(item) -> bool:
+        """Consume one completed step's outputs; True on NaN abort. Under
+        ``pipeline_host`` this runs after the next step is dispatched, so
+        the scalar fetch overlaps device compute (see trainer.py)."""
+        nonlocal lr, last_bound, last_mse, best_mse, prev_loss, sched_count
+        step_i, scalars, p_params, p_opt_state, k_ev = item
         loss_f, align_f, bound_f, mse_f, dist_f = (
             float(v) for v in np.asarray(scalars)
         )
@@ -542,8 +550,7 @@ def ttt_train_and_eval(
 
         if not math.isfinite(loss_f):
             print(f"NaN loss at step {step_i} (lr {lr:.2e}); bailing out")
-            return (best_mse if return_best_mse else last_mse) \
-                if last_mse is not None else math.nan
+            return True
 
         if cfg.num_batches * step_i > cfg.warmup_steps + pretrain:
             sched_count += 1
@@ -572,8 +579,10 @@ def ttt_train_and_eval(
             )
 
         if step_i % cfg.eval_every == 0 or step_i == cfg.steps - 1:
-            ex_losses, _, ex_imgs, ex_mon = eval_step(params, test_state_ex, k_ev)
-            in_losses, _ = eval_step_interp(params, test_state_in, k_ev)
+            ex_losses, _, ex_imgs, ex_mon = eval_step(
+                p_params, test_state_ex, k_ev
+            )
+            in_losses, _ = eval_step_interp(p_params, test_state_in, k_ev)
             if collect:
                 _dump_eval(step_i, ex_imgs, ex_mon)
             test_mse = float(ex_losses["mse"])
@@ -599,14 +608,35 @@ def ttt_train_and_eval(
 
             save_checkpoint(
                 str(pathlib.Path(cfg.checkpoint_dir) / "latest"),
-                {"params": params, "opt_state": opt_state,
+                {"params": p_params, "opt_state": p_opt_state,
                  "step": jnp.asarray(step_i), "lr": jnp.asarray(lr)},
             )
 
         if progress_cb is not None:
             progress_cb(step_i, {"loss": loss_f, "objective": objective,
                                  "lr": lr, "test_mse": last_mse})
+        return False
+
+    pending = None
+    for step_i in range(start_step, cfg.steps + pretrain):
+        run_key, k_step, k_ev = jax.random.split(run_key, 3)
+        weights = _loss_weights(cfg, cfg.num_batches * step_i, last_bound)
+        params, opt_state, train_states, scalars = train_step(
+            params, opt_state, train_states, k_step, jnp.asarray(weights)
+        )
+        item = (step_i, scalars, params, opt_state, k_ev)
+        if cfg.pipeline_host:
+            item, pending = pending, item
+            if item is None:
+                continue
+        if process(item):
+            pending = None
+            break
+    if pending is not None:
+        process(pending)
 
     if writer is not None and hasattr(writer, "close"):
         writer.close()
+    if last_mse is None:
+        return math.nan
     return best_mse if return_best_mse else last_mse

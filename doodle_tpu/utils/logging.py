@@ -36,6 +36,12 @@ class JsonlWriter:
             json.dump({"event": "params", "params": params}, self._f)
             self._f.write("\n")
 
+    def log_params(self, params: dict[str, Any]) -> None:
+        json.dump(
+            {"event": "params", "params": params}, self._f, default=str
+        )
+        self._f.write("\n")
+
     def add_scalar(self, tag: str, value, step: int) -> None:
         json.dump(
             {"event": "scalar", "tag": tag, "value": float(value),
@@ -74,6 +80,9 @@ class TensorBoardWriter:
         self._w = SummaryWriter(logdir)
         if params:
             self._w.add_text("params", json.dumps(params, default=str))
+
+    def log_params(self, params):
+        self._w.add_text("params", json.dumps(params, default=str))
 
     def add_scalar(self, tag, value, step):
         self._w.add_scalar(tag, float(value), step)
@@ -117,9 +126,12 @@ class MLflowWriter:
             experiment_id=experiment_id, run_name=run_name
         )
         if params:
-            mlflow.log_params(
-                {k: str(v)[:500] for k, v in params.items()}
-            )
+            self.log_params(params)
+
+    def log_params(self, params):
+        self._mlflow.log_params(
+            {k: str(v)[:500] for k, v in params.items()}
+        )
 
     def add_scalar(self, tag, value, step):
         self._mlflow.log_metric(tag.replace("/", "."), float(value), step=step)
@@ -149,6 +161,11 @@ class MultiWriter:
 
     def __init__(self, *writers) -> None:
         self.writers = [w for w in writers if w is not None]
+
+    def log_params(self, *a, **kw):
+        for w in self.writers:
+            if hasattr(w, "log_params"):
+                w.log_params(*a, **kw)
 
     def add_scalar(self, *a, **kw):
         for w in self.writers:

@@ -39,9 +39,11 @@ def test_multi_writer_fanout(tmp_path):
     w2 = JsonlWriter(str(tmp_path / "b"))
     mw = MultiWriter(w1, w2, None)
     mw.add_scalar("x", 1.0, 0)
+    mw.log_params({"sun": (45.0, 45.0)})
     mw.close()
     for d in ("a", "b"):
-        assert "scalar" in (tmp_path / d / "metrics.jsonl").read_text()
+        text = (tmp_path / d / "metrics.jsonl").read_text()
+        assert "scalar" in text and "params" in text and "sun" in text
 
 
 def test_scatter3d_writes_selfcontained_html(tmp_path):
