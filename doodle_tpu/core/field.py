@@ -57,8 +57,10 @@ def render(
       3. intersect with the receiver plane (parallel rays masked, not NaN);
       4. separable Gaussian splat, contracted over heliostats on the MXU.
 
-    Total-energy normalization is intentionally absent: the reference
-    computes it and then does not apply it (ref ``:409-410``).
+    Total-energy normalization is off by default: the reference computes it
+    and then does not apply it (ref ``:409-410``). The older generations'
+    unit-energy behavior (§2.9) is available via
+    ``FieldConfig.normalize_energy``.
 
     Returns:
       ``(images [B, res, res], actual_normals [B, N, 3], reflected [B, N, 3])``.
@@ -108,6 +110,13 @@ def render(
             valid,
         )
         images = splat_image(fx, fy, precision=cfg.precision)  # [B, res, res]
+    if cfg.normalize_energy:
+        # Older-generation unit-energy images (newenv/newenv_rl_test.py:
+        # 183-184): per-image total clamped below at 1e-9.
+        sums = jnp.clip(
+            jnp.sum(images, axis=(-2, -1), keepdims=True), 1e-9, None
+        )
+        images = images / sums
     return images, actual, refl_unit
 
 

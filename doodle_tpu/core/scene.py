@@ -79,6 +79,12 @@ class FieldConfig:
     # roundtrip cheap while the kernel pays its fixed 512-deep chunk
     # padding and per-grid-step overhead.
     splat_backend: str = "xla"
+    # Older-generation behavior (§2.9): normalize each flux image to unit
+    # total energy (``newenv/newenv_rl_test.py:183-184`` per-image with a
+    # 1e-9 clamp; ``newenv/newenv.py:148`` unclamped). The current reference
+    # generation computes the total and then does NOT apply it
+    # (``newenv_rl_test_multi_error.py:409-410``) — False reproduces that.
+    normalize_energy: bool = False
 
 
 def make_scene(

@@ -24,6 +24,7 @@ def smoothed_value_and_grad(
     loss_fn: Callable,
     width: float = 0.01,
     n_samples: int = 5,
+    has_aux: bool = False,
 ) -> Callable:
     """Estimator ``f(params, key, *args) -> (mean_loss, mean_grad)``.
 
@@ -32,8 +33,14 @@ def smoothed_value_and_grad(
     in ref ``newenv/smooth_adam_opt.py:59-66``); losses and gradients are
     averaged over ``n_samples`` with a ``lax.scan`` so the loop stays
     on-device under jit.
+
+    With ``has_aux``, ``loss_fn`` returns ``(loss, aux)`` and the estimator
+    returns ``((mean_loss, last_aux), mean_grad)`` — the aux of the LAST
+    perturbation sample, mirroring the reference closure loop whose final
+    evaluation is the one that leaves its side effects behind
+    (``newenv/smooth_adam_opt.py:53-66``).
     """
-    vg = jax.value_and_grad(loss_fn)
+    vg = jax.value_and_grad(loss_fn, has_aux=has_aux)
 
     def estimator(params, key, *args):
         leaves, treedef = jax.tree.flatten(params)
@@ -44,13 +51,17 @@ def smoothed_value_and_grad(
                 p + (jax.random.uniform(k, p.shape, p.dtype) - 0.5) * width
                 for p, k in zip(leaves, keys)
             ]
-            loss, grad = vg(jax.tree.unflatten(treedef, perturbed), *args)
-            return carry, (loss, grad)
+            out, grad = vg(jax.tree.unflatten(treedef, perturbed), *args)
+            return carry, (out, grad)
 
         sample_keys = jax.random.split(key, n_samples)
-        _, (losses, grads) = jax.lax.scan(one_sample, None, sample_keys)
+        _, (outs, grads) = jax.lax.scan(one_sample, None, sample_keys)
         mean_grad = jax.tree.map(lambda g: jnp.mean(g, axis=0), grads)
-        return jnp.mean(losses), mean_grad
+        if has_aux:
+            losses, auxs = outs
+            last_aux = jax.tree.map(lambda x: x[-1], auxs)
+            return (jnp.mean(losses), last_aux), mean_grad
+        return jnp.mean(outs), mean_grad
 
     return estimator
 

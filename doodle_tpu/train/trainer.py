@@ -103,6 +103,22 @@ class TrainConfig:
     eval_every: int = 100
     log_every: int = 25
     weight_decay: float = 1e-5
+    # Optimizer family. "adamp" is the production path (ref
+    # ``train_with_env.py:293``). "dominant_adam" reproduces the
+    # multi-objective legacy trainer (``newenv/train_agent_multi_error_seq_
+    # multi_obj.py:188-196``): each loss term gets its own gradient and only
+    # the largest-ℓ2-norm one steps; its schedule is phase-free (see
+    # ``_loss_weights``) and the chosen objective index is logged.
+    # "smoothed_adam" reproduces the MC-smoothed closure trainer
+    # (``newenv/train_agent_multi_error_seq_smooth_adam.py:168-203``):
+    # gradients averaged over ``smooth_samples`` uniform parameter
+    # perturbations of width ``smooth_width``. Both legacy optimizers clip
+    # at ``grad_clip``; their reference defaults clip at 1.0, so pass
+    # ``grad_clip=1.0`` to reproduce them (this dataclass's 1e-7 default is
+    # the standard trainer's AdamP setting).
+    optimizer: str = "adamp"
+    smooth_width: float = 0.01
+    smooth_samples: int = 5
     # Reference quirk (behavior, not bug): the loss schedule is frozen to
     # "alignment always" by an `if True:` (train_with_env.py:346-356).
     # True reproduces the frozen behavior; False enables the documented
@@ -198,6 +214,19 @@ def _loss_weights(cfg: TrainConfig, global_i: int, last_bound: float) -> np.ndar
     mse·(1−decay) + dist·decay with decay falling linearly to 1e-5 over 80%
     of the active steps.
     """
+    if cfg.optimizer == "dominant_adam":
+        # The multi-objective legacy trainer is phase-free (``newenv/
+        # train_agent_multi_error_seq_multi_obj.py:187-193``): from step 0
+        # the objectives are [mse·(1−decay+1e-5), dist_f·dist·decay,
+        # anti_spill·bound] with decay falling linearly over 80% of steps.
+        cutoff = max(1, int(0.8 * cfg.steps))
+        eff = global_i // max(1, cfg.num_batches)
+        decay = max(1e-5, (cutoff - eff) / cutoff)
+        return np.array(
+            [0.0, cfg.anti_spill, cfg.mse_f * (1.0 - decay + 1e-5),
+             cfg.dist_f * decay],
+            np.float32,
+        )
     # The angular trainer has no alignment phase at all (its env generation
     # predates the alignment loss; schedule at
     # ``newenv/train_with_env_angular.py:404-416`` is warmup/boundary-lock →
@@ -309,6 +338,20 @@ def train_and_eval(
     )
 
     def make_opt(learning_rate):
+        if cfg.optimizer == "dominant_adam":
+            from ..optim import dominant_adam
+
+            return dominant_adam(
+                learning_rate, weight_decay=cfg.weight_decay,
+                max_grad_norm=cfg.grad_clip,
+            )
+        if cfg.optimizer == "smoothed_adam":
+            from ..optim import smoothed_adam
+
+            return smoothed_adam(
+                learning_rate, weight_decay=cfg.weight_decay,
+                max_grad_norm=cfg.grad_clip,
+            )
         return optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip),
             adamp(learning_rate, weight_decay=cfg.weight_decay),
@@ -320,7 +363,7 @@ def train_and_eval(
     # ---- the one jitted train step
     @jax.jit
     def train_step(params, opt_state, states, key, weights):
-        def loss_fn(p):
+        def terms_fn(p):
             keys = jax.random.split(key, cfg.num_batches)
             results = jax.vmap(
                 lambda s, k: rollout(
@@ -338,12 +381,44 @@ def train_and_eval(
                 parts["alignment_loss"], parts["bound"],
                 parts["mse"], parts["dist"],
             ])
-            total = jnp.sum(jnp.where(weights != 0, weights * terms, 0.0))
-            return total, (parts, results)
+            wterms = jnp.where(weights != 0, weights * terms, 0.0)
+            return wterms, (parts, results)
 
-        (loss, (parts, results)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
+        def loss_fn(p):
+            wterms, aux = terms_fn(p)
+            return jnp.sum(wterms), aux
+
+        chosen = jnp.asarray(-1.0, jnp.float32)
+        if cfg.optimizer == "dominant_adam":
+            # One forward, four pullbacks (vmapped over identity
+            # cotangents): the per-objective gradients the reference ADom
+            # gets from n separate backward() calls
+            # (newenv/dom_adam_optimizer.py:62-76).
+            wterms, pullback, (parts, results) = jax.vjp(
+                terms_fn, params, has_aux=True
+            )
+            grads_stack = jax.vmap(lambda ct: pullback(ct)[0])(
+                jnp.eye(4, dtype=wterms.dtype)
+            )
+            norms = jax.vmap(optax.global_norm)(grads_stack)
+            idx = jnp.argmax(norms)
+            grads = jax.tree.map(lambda g: g[idx], grads_stack)
+            loss = jnp.sum(wterms)
+            chosen = idx.astype(jnp.float32)
+        elif cfg.optimizer == "smoothed_adam":
+            from ..optim import smoothed_value_and_grad
+
+            est = smoothed_value_and_grad(
+                loss_fn, width=cfg.smooth_width,
+                n_samples=cfg.smooth_samples, has_aux=True,
+            )
+            (loss, (parts, results)), grads = est(
+                params, jax.random.fold_in(key, 0x5A)
+            )
+        else:
+            (loss, (parts, results)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
         grad_norm = optax.global_norm(grads)
         # Per-parameter mean grads for observability (the reference logs
         # these via hooks + writer, train_with_env.py:440-445).
@@ -359,7 +434,7 @@ def train_and_eval(
         # round trip through the axon tunnel).
         scalars = jnp.stack([
             loss, parts["alignment_loss"], parts["bound"],
-            parts["mse"], parts["dist"], grad_norm,
+            parts["mse"], parts["dist"], grad_norm, chosen,
         ])
         return (params, opt_state, new_states, scalars, results, grad_means)
 
@@ -395,9 +470,14 @@ def train_and_eval(
     last_bound = math.inf
     last_mse = None
     best_mse = None
-    # No alignment phase in the angular trainer (see _loss_weights) — don't
-    # extend the loop by the pretrain budget either.
-    pretrain = 0 if cfg.action_space == "angles" else cfg.alignment_pretrain_steps
+    # No alignment phase in the angular trainer or the phase-free
+    # multi-objective trainer (see _loss_weights) — don't extend the loop by
+    # the pretrain budget either.
+    pretrain = (
+        0
+        if cfg.action_space == "angles" or cfg.optimizer == "dominant_adam"
+        else cfg.alignment_pretrain_steps
+    )
     run_key = k_run
     t_start = time.time()
     start_step = 0
@@ -440,7 +520,7 @@ def train_and_eval(
          p_states, k_eval) = item
 
         # Single device→host fetch for all per-step scalars.
-        loss_f, align_f, bound_f, mse_f, dist_f, gnorm_f = (
+        loss_f, align_f, bound_f, mse_f, dist_f, gnorm_f, chosen_f = (
             float(v) for v in np.asarray(scalars)
         )
         last_bound = bound_f
@@ -462,6 +542,8 @@ def train_and_eval(
             writer.add_scalar("loss/bound", bound_f, step_i)
             writer.add_scalar("hyperparams/lr", lr, step_i)
             writer.add_scalar("gradients/global_norm", gnorm_f, step_i)
+            if chosen_f >= 0:
+                writer.add_scalar("optimizer/chosen_objective", chosen_f, step_i)
             if step_i % cfg.eval_every == 0:
                 for name, gm in grad_means.items():
                     writer.add_scalar(f"gradients/{name}", float(gm), step_i)
@@ -471,6 +553,11 @@ def train_and_eval(
             monitor_cb(step_i, mon0)
 
         if step_i % cfg.log_every == 0 or step_i == cfg.steps - 1:
+            # The multi-objective trainer reports which loss won the step
+            # (ref "[..] L{chosen} chosen", ..._multi_obj.py:200): index
+            # into (alignment, bound, mse, dist).
+            if chosen_f >= 0:
+                print(f"L{int(chosen_f)} chosen", end=" | ")
             print(
                 f"Step {step_i} | loss {loss_f:.4f} | "
                 f"mse_train {mse_f:.2e} | "

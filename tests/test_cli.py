@@ -19,6 +19,7 @@ def test_parser_covers_reference_flags():
         "--architecture", "mlp", "--scheduler", "cyclic",
         "--use_error_mask", "true", "--error_mask_ratio", "0.3",
         "--grad_clip", "1e-7", "--azimuth", "none",
+        "--optimizer", "dominant_adam", "--smooth_samples", "3",
     ])
     cfg = config_from_args(args, TrainConfig)
     assert cfg.num_heliostats == 5
@@ -26,6 +27,8 @@ def test_parser_covers_reference_flags():
     assert cfg.use_error_mask is True
     assert cfg.error_mask_ratio == 0.3
     assert cfg.azimuth is None
+    assert cfg.optimizer == "dominant_adam"
+    assert cfg.smooth_samples == 3
 
 
 def test_bool_flag_false_strings():

@@ -177,3 +177,38 @@ def test_render_differentiable_and_jittable(goldens):
     arr = np.asarray(grad)
     assert np.isfinite(arr).all()
     assert np.abs(arr).max() > 0
+
+
+def test_render_normalize_energy():
+    """FieldConfig.normalize_energy reproduces the older generations'
+    unit-total-energy images (newenv/newenv_rl_test.py:183-184); off by
+    default (the current generation computes then discards the total,
+    newenv_rl_test_multi_error.py:409-410)."""
+    key = jax.random.PRNGKey(7)
+    scene = make_scene(
+        np.array([[80.0, 85.0, 0.0], [90.0, 82.0, 0.0]]),
+        np.array([0.0, -5.0, 0.0]),
+        np.array([0.0, 1.0, 0.0]),
+    )
+    sun = jnp.array([[0.0, 0.0, 1000.0], [100.0, 0.0, 900.0]])
+    normals = jnp.tile(
+        jnp.array([0.0, 0.0, 1.0]), (2, scene.num_heliostats, 1)
+    )
+    errors = jnp.zeros((2, scene.num_heliostats, 2))
+
+    cfg_raw = FieldConfig(resolution=32)
+    cfg_norm = FieldConfig(resolution=32, normalize_energy=True)
+    img_raw, _, _ = render(scene, cfg_raw, sun, normals, errors)
+    img_norm, _, _ = render(scene, cfg_norm, sun, normals, errors)
+
+    sums_raw = np.asarray(img_raw).sum(axis=(-2, -1))
+    assert (np.abs(sums_raw - 1.0) > 1e-3).any()          # default: raw flux
+    np.testing.assert_allclose(
+        np.asarray(img_norm).sum(axis=(-2, -1)), 1.0, atol=1e-5
+    )
+    # normalization is per image, not global
+    np.testing.assert_allclose(
+        np.asarray(img_norm),
+        np.asarray(img_raw) / sums_raw[:, None, None],
+        rtol=1e-5,
+    )

@@ -223,3 +223,19 @@ def test_reduce_on_plateau_reduces_scale():
         up, state = tx.update(g, state, params, value=1.0)
         scales.append(float(state.scale))
     assert min(scales) <= 0.5
+
+
+def test_smoothed_value_and_grad_has_aux():
+    """has_aux: loss_fn returns (loss, aux); estimator returns
+    ((mean_loss, last_aux), mean_grad) with the aux of the last sample."""
+    w = jnp.array([1.0, -2.0, 0.5])
+
+    def loss(p):
+        v = jnp.dot(w, p["x"])
+        return v, {"twice": 2.0 * v}
+
+    est = smoothed_value_and_grad(loss, width=0.3, n_samples=6, has_aux=True)
+    (mean_loss, aux), g = est({"x": jnp.zeros(3)}, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(g["x"]), np.asarray(w), atol=1e-5)
+    assert np.isfinite(float(mean_loss))
+    assert np.asarray(aux["twice"]).shape == ()

@@ -281,3 +281,55 @@ def test_train_and_eval_scheduler_exp_changes_lr(tiny):
         progress_cb=lambda i, m: lrs.append(m["lr"]),
     )
     assert lrs[-1] < lrs[0]
+
+
+# ------------------------------------------------- legacy optimizer paths
+def test_loss_weights_dominant_phase_free():
+    """The multi-objective trainer has no pretrain/warmup phases
+    (newenv/train_agent_multi_error_seq_multi_obj.py:187-193): from step 0
+    the objectives are bound/mse/dist with the linear dist→mse decay."""
+    cfg = _cfg(optimizer="dominant_adam", steps=100)
+    w0 = _loss_weights(cfg, 0, last_bound=np.inf)
+    assert w0[0] == 0.0                       # never alignment
+    assert w0[1] == cfg.anti_spill            # bound always an objective
+    assert w0[3] == pytest.approx(cfg.dist_f) # decay starts at 1
+    w_late = _loss_weights(cfg, 79, last_bound=np.inf)
+    assert w_late[2] > w0[2] and w_late[3] < w0[3]
+
+
+def test_train_and_eval_dominant_adam(tiny):
+    """End-to-end multi-objective training (ADom): per-term gradients,
+    largest-norm selection, phase-free schedule. The chosen-objective index
+    is surfaced in the step log (ref '[..] L{chosen} chosen')."""
+    scene, *_ = tiny
+    cfg = TrainConfig(
+        num_heliostats=5, batch_size=4, num_batches=1, steps=5, T=2, k=2,
+        resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+        optimizer="dominant_adam", lr=1e-3, grad_clip=1.0,
+        scheduler="none", eval_every=3, log_every=1, test_size=4,
+        dropout=0.0,
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        best = train_and_eval(cfg, scene=scene)
+    assert best is not None and np.isfinite(best)
+    assert "chosen" in buf.getvalue()
+
+
+def test_train_and_eval_smoothed_adam(tiny):
+    """End-to-end MC-smoothed training (SmoothedAdam): gradients averaged
+    over perturbation samples, then the reference's decay→clip→Adam chain."""
+    scene, *_ = tiny
+    cfg = TrainConfig(
+        num_heliostats=5, batch_size=4, num_batches=1, steps=4, T=2, k=2,
+        resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+        optimizer="smoothed_adam", smooth_samples=2, smooth_width=0.01,
+        alignment_pretrain_steps=2, warmup_steps=1,
+        lr=1e-3, grad_clip=1.0, scheduler="none", eval_every=3,
+        log_every=100, test_size=4, dropout=0.0,
+    )
+    best = train_and_eval(cfg, scene=scene)
+    assert best is not None and np.isfinite(best)
