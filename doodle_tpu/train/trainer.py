@@ -143,6 +143,12 @@ class TrainConfig:
     # checkpoint_every steps and resume from the latest on restart.
     checkpoint_dir: str | None = None
     checkpoint_every: int = 500
+    # Profiling (new capability — SURVEY §5: the reference records only
+    # wall-clock seconds): capture a ``jax.profiler`` trace of
+    # ``profile_steps`` steady-state steps (starting 2 steps after
+    # resume/compile) into ``profile_dir``; view in XProf/TensorBoard.
+    profile_dir: str | None = None
+    profile_steps: int = 5
 
 
 class PlateauTracker:
@@ -544,6 +550,8 @@ def train_and_eval(
             writer.add_scalar("gradients/global_norm", gnorm_f, step_i)
             if chosen_f >= 0:
                 writer.add_scalar("optimizer/chosen_objective", chosen_f, step_i)
+            if timer.steps_per_s > 0:
+                writer.add_scalar("perf/steps_per_s", timer.steps_per_s, step_i)
             if step_i % cfg.eval_every == 0:
                 for name, gm in grad_means.items():
                     writer.add_scalar(f"gradients/{name}", float(gm), step_i)
@@ -622,9 +630,17 @@ def train_and_eval(
             )
         return False
 
+    from ..utils.profiling import StepTimer
+
+    timer = StepTimer(skip=1 + start_step)
+    profile_start = start_step + 2   # past the compile step
+    tracing = False
     pending = None
     aborted = False
     for step_i in range(start_step, cfg.steps + pretrain):
+        if cfg.profile_dir and step_i == profile_start:
+            jax.profiler.start_trace(cfg.profile_dir)
+            tracing = True
         run_key, k_step, k_eval = jax.random.split(run_key, 3)
         weights = _loss_weights(cfg, cfg.num_batches * step_i, last_bound)
         (params, opt_state, train_states, scalars, results,
@@ -640,9 +656,15 @@ def train_and_eval(
             if item is None:
                 continue
         aborted = process(item)
+        timer.tick()
+        if tracing and step_i >= profile_start + cfg.profile_steps:
+            jax.profiler.stop_trace()
+            tracing = False
         if aborted:
             pending = None
             break
+    if tracing:
+        jax.profiler.stop_trace()        # loop ended mid-capture
     if pending is not None:
         aborted = process(pending)
 

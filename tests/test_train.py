@@ -333,3 +333,22 @@ def test_train_and_eval_smoothed_adam(tiny):
     )
     best = train_and_eval(cfg, scene=scene)
     assert best is not None and np.isfinite(best)
+
+
+def test_train_and_eval_profile_trace(tiny, tmp_path):
+    """profile_dir captures a jax.profiler trace of steady-state steps
+    (new capability per SURVEY §5 — the reference records only wall-clock
+    seconds)."""
+    scene, *_ = tiny
+    prof = tmp_path / "prof"
+    cfg = TrainConfig(
+        num_heliostats=5, batch_size=4, num_batches=1, steps=6, T=2, k=2,
+        resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+        alignment_pretrain_steps=0, warmup_steps=0,
+        lr=1e-3, grad_clip=1.0, scheduler="none", eval_every=100,
+        log_every=100, test_size=4, dropout=0.0,
+        profile_dir=str(prof), profile_steps=2,
+    )
+    train_and_eval(cfg, scene=scene)
+    dumped = list(prof.rglob("*"))
+    assert any(p.is_file() for p in dumped), "no profiler trace written"
