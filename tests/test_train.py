@@ -352,3 +352,35 @@ def test_train_and_eval_profile_trace(tiny, tmp_path):
     train_and_eval(cfg, scene=scene)
     dumped = list(prof.rglob("*"))
     assert any(p.is_file() for p in dumped), "no profiler trace written"
+
+
+def test_pipeline_host_identical_trajectory(tiny):
+    """pipeline_host only reorders host work (dispatch-then-process); with
+    constant loss weights (alignment_always) and no scheduler the logged
+    trajectory must be IDENTICAL to the serial loop — the device-side
+    program and RNG chain are unchanged."""
+    scene, *_ = tiny
+
+    def run(pipeline):
+        rec = []
+
+        class Rec:
+            def add_scalar(self, tag, val, step):
+                if tag in ("loss/total", "loss/mse"):
+                    rec.append((tag, step, val))
+
+        cfg = TrainConfig(
+            num_heliostats=5, batch_size=4, num_batches=1, steps=5, T=2,
+            k=2, resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+            alignment_always=True, alignment_pretrain_steps=0,
+            warmup_steps=0, lr=1e-3, grad_clip=1.0, scheduler="none",
+            eval_every=100, log_every=100, test_size=4, dropout=0.0,
+            pipeline_host=pipeline,
+        )
+        best = train_and_eval(cfg, scene=scene, writer=Rec())
+        return best, rec
+
+    best_p, rec_p = run(True)
+    best_s, rec_s = run(False)
+    assert rec_p == rec_s and len(rec_p) > 0
+    np.testing.assert_allclose(best_p, best_s, rtol=0, atol=0)
