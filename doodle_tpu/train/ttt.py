@@ -569,6 +569,8 @@ def ttt_train_and_eval(
             writer.add_scalar("loss/dist", dist_f, step_i)
             writer.add_scalar("loss/bound", bound_f, step_i)
             writer.add_scalar("hyperparams/lr", lr, step_i)
+            if timer.steps_per_s > 0:
+                writer.add_scalar("perf/steps_per_s", timer.steps_per_s, step_i)
 
         if step_i % cfg.log_every == 0 or step_i == cfg.steps - 1:
             print(
@@ -617,8 +619,18 @@ def ttt_train_and_eval(
                                  "lr": lr, "test_mse": last_mse})
         return False
 
+    # Profiler capture + steps/s metering, same contract as the standard
+    # trainer (TrainConfig.profile_dir/profile_steps).
+    from ..utils.profiling import StepTimer
+
+    timer = StepTimer(skip=1 + start_step)
+    profile_start = start_step + 2
+    tracing = False
     pending = None
     for step_i in range(start_step, cfg.steps + pretrain):
+        if cfg.profile_dir and step_i == profile_start:
+            jax.profiler.start_trace(cfg.profile_dir)
+            tracing = True
         run_key, k_step, k_ev = jax.random.split(run_key, 3)
         weights = _loss_weights(cfg, cfg.num_batches * step_i, last_bound)
         params, opt_state, train_states, scalars = train_step(
@@ -629,9 +641,16 @@ def ttt_train_and_eval(
             item, pending = pending, item
             if item is None:
                 continue
-        if process(item):
+        aborted = process(item)
+        timer.tick()
+        if tracing and step_i >= profile_start + cfg.profile_steps:
+            jax.profiler.stop_trace()
+            tracing = False
+        if aborted:
             pending = None
             break
+    if tracing:
+        jax.profiler.stop_trace()
     if pending is not None:
         process(pending)
 

@@ -199,3 +199,22 @@ def test_ttt_checkpoint_resume(tiny, tmp_path):
     ttt_train_and_eval(TTTConfig(**{**base, "steps": 4}),
                        progress_cb=lambda i, m: resumed.append(i))
     assert resumed[0] == 2 and resumed[-1] == 3
+
+
+def test_ttt_profile_trace(tmp_path):
+    """TTTConfig inherits profile_dir/profile_steps; the TTT loop captures a
+    jax.profiler trace of steady-state steps like the standard trainer."""
+    from doodle_tpu.train.ttt import TTTConfig, ttt_train_and_eval
+
+    prof = tmp_path / "prof"
+    cfg = TTTConfig(
+        num_heliostats=4, batch_size=2, num_batches=1, steps=6, T=2, k=2,
+        resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+        alignment_pretrain_steps=0, warmup_steps=0,
+        lr=1e-3, grad_clip=1.0, scheduler="none", eval_every=100,
+        log_every=100, dropout=0.0, truncate_every=2,
+        fine_steps_per_t=0, fine_enabled="none",
+        profile_dir=str(prof), profile_steps=2,
+    )
+    ttt_train_and_eval(cfg)
+    assert any(p.is_file() for p in prof.rglob("*")), "no trace written"
