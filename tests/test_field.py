@@ -184,16 +184,15 @@ def test_render_normalize_energy():
     unit-total-energy images (newenv/newenv_rl_test.py:183-184); off by
     default (the current generation computes then discards the total,
     newenv_rl_test_multi_error.py:409-410)."""
-    key = jax.random.PRNGKey(7)
+    from doodle_tpu.ops.optics import ideal_normals
+
     scene = make_scene(
         np.array([[80.0, 85.0, 0.0], [90.0, 82.0, 0.0]]),
         np.array([0.0, -5.0, 0.0]),
         np.array([0.0, 1.0, 0.0]),
     )
     sun = jnp.array([[0.0, 0.0, 1000.0], [100.0, 0.0, 900.0]])
-    normals = jnp.tile(
-        jnp.array([0.0, 0.0, 1.0]), (2, scene.num_heliostats, 1)
-    )
+    normals = ideal_normals(scene.heliostat_pos, scene.target_pos, sun)
     errors = jnp.zeros((2, scene.num_heliostats, 2))
 
     cfg_raw = FieldConfig(resolution=32)
