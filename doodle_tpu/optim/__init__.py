@@ -20,6 +20,7 @@ becomes an optax-composable piece:
 from .adamp import adamp
 from .dominant import dominant_adam, dominant_grad
 from .schedules import (
+    PiecewiseConstantLR,
     cyclic_lr,
     exponential_decay,
     piecewise_constant_schedule,
@@ -34,6 +35,7 @@ __all__ = [
     "dominant_grad",
     "dominant_adam",
     "piecewise_constant_schedule",
+    "PiecewiseConstantLR",
     "cyclic_lr",
     "exponential_decay",
     "reduce_on_plateau",

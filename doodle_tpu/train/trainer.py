@@ -33,7 +33,7 @@ import optax
 from ..core.scene import Scene, make_scene
 from ..env import env as env_lib
 from ..models.policy import PolicyNet
-from ..optim import adamp, cyclic_lr
+from ..optim import PiecewiseConstantLR, adamp, cyclic_lr
 from .rollout import rollout
 
 __all__ = [
@@ -67,11 +67,16 @@ class TrainConfig:
     transformer_heads: int = 8
     dropout: float = 0.1
     use_mean: bool = False
-    scheduler: str = "exp"           # plateau | cyclic | exp | none
+    scheduler: str = "exp"           # plateau | cyclic | exp | piecewise | none
     scheduler_patience: int = 50
     scheduler_factor: float = 0.27
     scheduler_mode: str = "triangular2"
     scheduler_gamma: float = 0.99
+    # "step:lr,step:lr,..." spec for scheduler="piecewise" — the reference
+    # ships PiecewiseConstantLR but never wires it into a trainer
+    # (train_with_env.py:12 imports it "for testing purposes"); here it is a
+    # working option.
+    scheduler_milestones: str = "0:5e-4,10000:1e-4,50000:3e-5"
     exp_decay: float = 1.8
     step_size_up: int = 300
     step_size_down: int = 1000
@@ -149,6 +154,12 @@ class TrainConfig:
     # resume/compile) into ``profile_dir``; view in XProf/TensorBoard.
     profile_dir: str | None = None
     profile_steps: int = 5
+    # Data-parallel training (new capability — the reference is single-GPU):
+    # shard the env batch of every train env over all visible devices
+    # (GSPMD: params/opt replicated, batch split, gradient psum over ICI).
+    # batch_size is the GLOBAL batch and must divide by the device count.
+    # False = single-device jit (identical program, no placement constraints).
+    data_parallel: bool = False
 
 
 class PlateauTracker:
@@ -366,8 +377,33 @@ def train_and_eval(
     opt = optax.inject_hyperparams(make_opt)(learning_rate=cfg.lr)
     opt_state = opt.init(params)
 
+    # ---- optional data-parallel placement: env batch sharded, params/opt
+    # replicated; XLA inserts the gradient psum (the scaling-book recipe,
+    # same GSPMD idiom as parallel.train.make_sharded_train_step but
+    # driving the FULL trainer: loss phases, AdamP, schedulers, eval).
+    mesh = None
+    if cfg.data_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        ndev = mesh.devices.size
+        if cfg.batch_size % ndev:
+            raise ValueError(
+                f"data_parallel: batch_size={cfg.batch_size} must divide "
+                f"by the {ndev}-device mesh"
+            )
+        _repl = NamedSharding(mesh, P())
+        _row = NamedSharding(mesh, P(None, "batch"))  # [num_batches, B, ...]
+        _state_shard = env_lib.EnvState(
+            sun_pos=_row, errors=_row, ideal_normals=_row,
+            target_img=_row, distance_maps=_row,
+            ref_min=_repl, ref_max=_repl,
+        )
+        train_states = jax.device_put(train_states, _state_shard)
+
     # ---- the one jitted train step
-    @jax.jit
     def train_step(params, opt_state, states, key, weights):
         def terms_fn(p):
             keys = jax.random.split(key, cfg.num_batches)
@@ -444,6 +480,16 @@ def train_and_eval(
         ])
         return (params, opt_state, new_states, scalars, results, grad_means)
 
+    if mesh is not None:
+        # Constrain the inputs; output placements propagate via GSPMD (the
+        # new env states come back batch-sharded, params/opt replicated).
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(_repl, _repl, _state_shard, _repl, _repl),
+        )
+    else:
+        train_step = jax.jit(train_step)
+
     @jax.jit
     def eval_step(params, state, key):
         return rollout(
@@ -458,6 +504,10 @@ def train_and_eval(
         1e-5, cfg.lr, cfg.step_size_up, cfg.step_size_down,
         mode=cfg.scheduler_mode, gamma=cfg.scheduler_gamma,
     )
+    pw = (
+        PiecewiseConstantLR.parse(cfg.lr, cfg.scheduler_milestones)
+        if cfg.scheduler == "piecewise" else None
+    )
     sched_count = 0
     lr = cfg.lr
 
@@ -470,6 +520,8 @@ def train_and_eval(
             return float(cyc(sched_count))
         if cfg.scheduler == "exp":
             return lr * cfg.exp_decay
+        if cfg.scheduler == "piecewise":
+            return pw.step()
         return lr
 
     # ---- training loop

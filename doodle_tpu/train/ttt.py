@@ -297,6 +297,7 @@ def ttt_train_and_eval(
 
     from ..optim import adamp
     from .trainer import PlateauTracker, cyclic_lr, make_ttt_geometry
+    from ..optim import PiecewiseConstantLR
 
     key = jax.random.PRNGKey(cfg.seed)
     k_geo, k_env, k_policy, k_run = jax.random.split(key, 4)
@@ -503,6 +504,10 @@ def ttt_train_and_eval(
     plateau = PlateauTracker(cfg.lr, cfg.scheduler_patience, cfg.scheduler_factor)
     cyc = cyclic_lr(1e-5, cfg.lr, cfg.step_size_up, cfg.step_size_down,
                     mode=cfg.scheduler_mode, gamma=cfg.scheduler_gamma)
+    pw = (
+        PiecewiseConstantLR.parse(cfg.lr, cfg.scheduler_milestones)
+        if cfg.scheduler == "piecewise" else None
+    )
     sched_count = 0
     lr = cfg.lr
     last_bound = math.inf
@@ -560,6 +565,8 @@ def ttt_train_and_eval(
                 lr = float(cyc(sched_count))
             elif cfg.scheduler == "exp":
                 lr = lr * cfg.exp_decay
+            elif cfg.scheduler == "piecewise":
+                lr = pw.step()
             opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
         if writer is not None:

@@ -188,6 +188,43 @@ def test_piecewise_constant_validation():
         piecewise_constant_schedule([20, 10], [1.0, 0.5, 0.1])
 
 
+def test_piecewise_constant_lr_stateful():
+    from doodle_tpu.optim import PiecewiseConstantLR
+
+    # base_lr before the first milestone (ref piecewise_constant_lr.py:102-108)
+    pw = PiecewiseConstantLR(3e-4, {5: 1e-4, 20: 3e-5})
+    got = [pw.step() for _ in range(25)]  # steps 0..24
+    assert got[:5] == [3e-4] * 5
+    assert got[5:20] == [1e-4] * 15
+    assert got[20:] == [3e-5] * 5
+    assert pw.next_change_step is None
+
+    # on-the-fly milestone insert and update (ref :121-141)
+    pw.set_milestone(30, 1e-5)
+    assert pw.next_change_step == 30
+    pw.set_milestone(20, 2e-5)  # update in place
+    assert pw.lr == 2e-5
+
+    # state round-trip (ref :68-83)
+    clone = PiecewiseConstantLR(1.0, {0: 1.0})
+    clone.load_state_dict(pw.state_dict())
+    assert clone.lr == pw.lr and clone.next_change_step == 30
+    for _ in range(10):
+        clone.step()
+    assert clone.lr == 1e-5
+
+    # CLI spec parsing (reference docstring's example schedule, :26)
+    spec = PiecewiseConstantLR.parse(3e-4, "0:3e-4,10000:1e-4,50000:3e-5")
+    assert spec.lr_at(9_999) == 3e-4
+    assert spec.lr_at(10_000) == 1e-4
+    assert spec.lr_at(1_000_000) == 3e-5
+
+    with pytest.raises(ValueError):
+        PiecewiseConstantLR(1.0, {})
+    with pytest.raises(ValueError):
+        PiecewiseConstantLR(1.0, {-1: 0.1})
+
+
 def test_cyclic_triangular():
     s = cyclic_lr(0.1, 1.1, step_size_up=10, mode="triangular")
     np.testing.assert_allclose(float(s(0)), 0.1, atol=1e-6)

@@ -283,6 +283,67 @@ def test_train_and_eval_scheduler_exp_changes_lr(tiny):
     assert lrs[-1] < lrs[0]
 
 
+def test_train_and_eval_data_parallel_matches_single_device(tiny):
+    """data_parallel=True drives the FULL trainer (loss phases, AdamP,
+    scheduler, eval) with the env batch GSPMD-sharded over the 8-device
+    virtual mesh; the learning trajectory must match the single-device run
+    (same program, partitionable PRNG — only reduction order may differ)."""
+    scene, *_ = tiny
+
+    def run(dp):
+        cfg = TrainConfig(
+            num_heliostats=5, batch_size=8, num_batches=2, steps=5, T=2, k=2,
+            resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+            alignment_pretrain_steps=2, warmup_steps=1,
+            lr=1e-3, grad_clip=1.0, scheduler="none", eval_every=3,
+            log_every=100, test_size=4, dropout=0.0, seed=7,
+            data_parallel=dp,
+        )
+        trace = []
+        best = train_and_eval(
+            cfg, scene=scene, progress_cb=lambda i, m: trace.append(m["loss"])
+        )
+        return best, trace
+
+    best_dp, trace_dp = run(True)
+    best_sd, trace_sd = run(False)
+    assert np.isfinite(best_dp)
+    np.testing.assert_allclose(trace_dp, trace_sd, rtol=1e-4)
+    np.testing.assert_allclose(best_dp, best_sd, rtol=1e-4)
+
+
+def test_train_and_eval_data_parallel_rejects_indivisible_batch(tiny):
+    scene, *_ = tiny
+    cfg = TrainConfig(
+        num_heliostats=5, batch_size=3, num_batches=1, steps=2, T=2, k=2,
+        resolution=16, data_parallel=True,
+    )
+    with pytest.raises(ValueError, match="divide"):
+        train_and_eval(cfg, scene=scene)
+
+
+def test_train_and_eval_scheduler_piecewise_changes_lr(tiny):
+    """scheduler="piecewise" drives the LR through PiecewiseConstantLR
+    milestones (the reference imports the class at train_with_env.py:12 but
+    never wires it; here it is a working trainer option)."""
+    scene, *_ = tiny
+    cfg = TrainConfig(
+        num_heliostats=5, batch_size=4, num_batches=1, steps=8, T=2, k=2,
+        resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+        alignment_pretrain_steps=0, warmup_steps=0,
+        lr=1e-3, grad_clip=1.0, scheduler="piecewise",
+        scheduler_milestones="0:1e-3,4:1e-5",
+        eval_every=100, log_every=100, test_size=4, dropout=0.0,
+    )
+    lrs = []
+    train_and_eval(
+        cfg, scene=scene,
+        progress_cb=lambda i, m: lrs.append(m["lr"]),
+    )
+    assert lrs[0] == pytest.approx(1e-3)
+    assert lrs[-1] == pytest.approx(1e-5)
+
+
 # ------------------------------------------------- legacy optimizer paths
 def test_loss_weights_dominant_phase_free():
     """The multi-objective trainer has no pretrain/warmup phases
