@@ -6,5 +6,12 @@ from .sun import (  # noqa: F401
     sample_cone_directions,
     sample_sun_positions,
 )
-from .losses import angles_mrad, alignment_loss_cheap, boundary, flux_metrics  # noqa: F401
+from .losses import (  # noqa: F401
+    angles_mrad,
+    alignment_loss_cheap,
+    boundary,
+    chamfer_loss,
+    flux_metrics,
+    spillage,
+)
 from .env import EnvConfig, EnvState, HelioEnv, init_state, reset, set_sun_pos, step  # noqa: F401

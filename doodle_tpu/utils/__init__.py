@@ -10,7 +10,7 @@ Parity targets: ``mlflow_logger.py`` (MLflow SummaryWriter shim),
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .logging import JsonlWriter, MLflowWriter, MultiWriter, TensorBoardWriter
 from .nan_guard import check_finite, find_nonfinite
-from .plotting import scatter3d_vectors
+from .plotting import field_scene_html, scatter3d_vectors
 from .profiling import StepTimer, trace
 
 __all__ = [
@@ -18,6 +18,7 @@ __all__ = [
     "TensorBoardWriter",
     "MLflowWriter",
     "MultiWriter",
+    "field_scene_html",
     "scatter3d_vectors",
     "check_finite",
     "find_nonfinite",

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from doodle_tpu.core import make_scene
 from doodle_tpu.env import (
@@ -229,3 +230,53 @@ def test_new_sun_pos_every_reset_works():
     state2, obs = reset(scene, cfg, state, jax.random.PRNGKey(1))
     assert np.abs(np.asarray(state2.sun_pos) - sun_before).max() > 1.0
     assert np.isfinite(np.asarray(obs["img"])).all()
+
+
+def test_chamfer_loss_matches_torch_reference():
+    """Cross-check against an independent torch recomputation of the
+    reference formula (newenv/losses.py:4-40)."""
+    import torch
+    import torch.nn.functional as F
+
+    from doodle_tpu.env.losses import chamfer_loss
+
+    rng = np.random.default_rng(3)
+    pred = rng.uniform(0.0, 1.0, (24, 24)).astype(np.float32)
+    targ = rng.uniform(0.0, 1.0, (24, 24)).astype(np.float32)
+
+    k = 15
+    pad = k // 2
+    ax = torch.arange(k, dtype=torch.float32) - pad
+    kern = torch.sqrt(ax[:, None] ** 2 + ax[None, :] ** 2)[None, None]
+
+    def dt(img_bin):
+        inv = (1.0 - img_bin)[None, None]
+        return F.conv2d(inv, kern, padding=pad)[0, 0]
+
+    pb = (torch.from_numpy(pred) > 0.1).float()
+    tb = (torch.from_numpy(targ) > 0.1).float()
+    expected = float((pb * dt(tb)).sum() + (tb * dt(pb)).sum())
+
+    got = float(chamfer_loss(jnp.asarray(pred), jnp.asarray(targ)))
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_chamfer_loss_properties():
+    from doodle_tpu.env.losses import chamfer_loss
+
+    zero = jnp.zeros((16, 16))
+    assert float(chamfer_loss(zero, zero)) == 0.0
+
+    # Disjoint blobs score strictly worse than identical ones.
+    a = zero.at[2:5, 2:5].set(1.0)
+    b = zero.at[10:13, 10:13].set(1.0)
+    same = float(chamfer_loss(a, a))
+    diff = float(chamfer_loss(a, b))
+    assert diff > same >= 0.0
+
+    # Batched input sums over the batch, jit-compatible.
+    batched = jnp.stack([a, b])
+    tot = float(jax.jit(chamfer_loss)(batched, batched))
+    assert tot == pytest.approx(
+        float(chamfer_loss(a, a)) + float(chamfer_loss(b, b)), rel=1e-6
+    )

@@ -106,3 +106,38 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(restored["params"]["w"]), np.asarray(tree["params"]["w"])
     )
     assert int(restored["step"]) == 7
+
+
+def test_field_scene_html(tmp_path):
+    from doodle_tpu.utils import field_scene_html
+
+    rng = np.random.default_rng(0)
+    pos = np.c_[rng.uniform(50, 100, (8, 2)), np.zeros(8)]
+    normals = rng.normal(size=(8, 3))
+    path = field_scene_html(
+        pos, normals,
+        target_pos=[0.0, -5.0, 40.0],
+        plane_u=[1.0, 0.0, 0.0], plane_v=[0.0, 0.0, 1.0],
+        target_width=15.0, target_height=15.0,
+        sun_dir=[0.3, 0.3, 0.9],
+        values=np.arange(8.0),
+        html_file=str(tmp_path / "sub" / "scene.html"),
+    )
+    text = (tmp_path / "sub" / "scene.html").read_text()
+    assert path.endswith("scene.html")
+    assert text.count("mesh3d") == 2          # mirrors + receiver
+    assert "tower" in text and "sun" in text
+    assert "Plotly.newPlot" in text
+
+
+def test_field_scene_html_values_mismatch(tmp_path):
+    from doodle_tpu.utils import field_scene_html
+
+    with pytest.raises(ValueError):
+        field_scene_html(
+            np.zeros((4, 3)), np.ones((4, 3)),
+            target_pos=[0, 0, 10], plane_u=[1, 0, 0], plane_v=[0, 0, 1],
+            target_width=10, target_height=10,
+            values=np.zeros(3),
+            html_file=str(tmp_path / "x.html"),
+        )
