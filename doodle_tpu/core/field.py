@@ -73,7 +73,12 @@ def render(
             errors_mrad[None], (B, *errors_mrad.shape)
         )
 
-    actual = apply_orientation_errors(normals, errors_mrad)   # [B, N, 3]
+    if cfg.error_model == "additive":
+        # Generation-1 error model (``newenv/newenv.py:122-123``): additive
+        # 3-vector on the normal, renormalized, no up-axis clamp.
+        actual = normalize(normals + errors_mrad)             # [B, N, 3]
+    else:
+        actual = apply_orientation_errors(normals, errors_mrad)  # [B, N, 3]
 
     incidents = sun_pos[:, None, :] - helio[None, :, :]       # [B, N, 3]
     inc_unit = normalize(incidents)
@@ -150,11 +155,18 @@ class HelioField:
         return sub
 
     # ------------------------------------------------------------- Errors
+    @property
+    def _error_dim(self) -> int:
+        """2 mrad angles per heliostat, or 3 additive components (gen-1)."""
+        return 3 if self.cfg.error_model == "additive" else 2
+
     def sample_error_angles(self, key: jax.Array, batch_size: int) -> jax.Array:
-        """``[batch_size, N, 2]`` mrad errors ~ N(0, error_scale_mrad²)."""
+        """``[batch_size, N, {2|3}]`` errors ~ N(0, error_scale_mrad²)."""
         return (
             jax.random.normal(
-                key, (batch_size, self.scene.num_heliostats, 2), dtype=jnp.float32
+                key,
+                (batch_size, self.scene.num_heliostats, self._error_dim),
+                dtype=jnp.float32,
             )
             * self.cfg.error_scale_mrad
         )
@@ -163,7 +175,9 @@ class HelioField:
         """Resample both cached error tensors (ref ``:220-239``)."""
         self.error_angles_mrad = (
             jax.random.normal(
-                self._next_key(), (self.scene.num_heliostats, 2), dtype=jnp.float32
+                self._next_key(),
+                (self.scene.num_heliostats, self._error_dim),
+                dtype=jnp.float32,
             )
             * self.cfg.error_scale_mrad
         )

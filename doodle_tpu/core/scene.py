@@ -85,6 +85,15 @@ class FieldConfig:
     # generation computes the total and then does NOT apply it
     # (``newenv_rl_test_multi_error.py:409-410``) — False reproduces that.
     normalize_energy: bool = False
+    # Error model (§2.9 evolution strata):
+    #   "rotation_mrad" — current generation: (East, Up) rotations in mrad
+    #     ([..., N, 2] error tensors) followed by the leaky-ReLU up-clamp
+    #     (``newenv_rl_test_multi_error.py:356-372``);
+    #   "additive" — generation 1: a 3-vector added to the ideal normal and
+    #     renormalized, no up-clamp (``newenv/newenv.py:94,122-123``);
+    #     error tensors are [..., N, 3] and error_scale_mrad is the raw
+    #     stddev of the additive vector (the old ``error_scale``).
+    error_model: str = "rotation_mrad"
 
 
 def make_scene(

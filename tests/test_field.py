@@ -211,3 +211,51 @@ def test_render_normalize_energy():
         np.asarray(img_raw) / sums_raw[:, None, None],
         rtol=1e-5,
     )
+
+
+def test_additive_error_model_gen1():
+    """Generation-1 error model (newenv/newenv.py:122-123): normal + 3-vector,
+    renormalized, no up-axis clamp."""
+    import dataclasses
+
+    from doodle_tpu.core.field import HelioField, render
+    from doodle_tpu.core.scene import FieldConfig, make_scene
+    from doodle_tpu.ops.optics import ideal_normals, normalize
+
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    pos = jax.random.uniform(k1, (6, 3)) * 10.0 + 80.0
+    pos = pos.at[:, 2].set(0.0)
+    scene = make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+    cfg = FieldConfig(
+        resolution=32, sigma_scale=0.1, error_scale_mrad=0.05,
+        max_batch_size=2, error_model="additive",
+    )
+    sun = jnp.asarray([[100.0, 100.0, 800.0], [-50.0, 80.0, 900.0]])
+    ideal = ideal_normals(scene.heliostat_pos, scene.target_pos, sun)
+    errs = jax.random.normal(k2, (2, 6, 3)) * 0.05
+
+    img, actual, _ = render(scene, cfg, sun, ideal, errs)
+    np.testing.assert_allclose(
+        np.asarray(actual), np.asarray(normalize(ideal + errs)),
+        rtol=1e-6, atol=1e-6,
+    )
+    assert np.isfinite(np.asarray(img)).all()
+
+    # No up-clamp: a strongly-down-pointing additive error survives.
+    down = jnp.zeros((2, 6, 3)).at[..., 2].set(-5.0)
+    _, actual_down, _ = render(scene, cfg, sun, ideal, down)
+    assert float(np.asarray(actual_down)[..., 2].max()) < 0.0
+
+    # The rotation model would have clamped it.
+    rot_cfg = dataclasses.replace(cfg, error_model="rotation_mrad")
+    zero_rot = jnp.zeros((2, 6, 2))
+    _, actual_rot, _ = render(scene, rot_cfg, sun, ideal, zero_rot)
+    assert float(np.asarray(actual_rot)[..., 2].min()) > 0.0
+
+    # The stateful wrapper samples 3-component error tensors.
+    field = HelioField(scene, cfg, key=k3)
+    assert field.error_angles_mrad.shape == (6, 3)
+    assert field.batch_error_angles_mrad.shape == (2, 6, 3)
+    img_w, _ = field.render(sun, ideal)
+    assert img_w.shape == (2, 32, 32)
