@@ -92,6 +92,12 @@ class EnvConfig:
     # own max (``newenv/test_environment_angular.py:219-230``). One env,
     # one metric contract, two action spaces.
     action_space: str = "normals"
+    # Name of the shard_map-manual mesh axis the batch dimension lives on,
+    # or None when the batch is unsharded / GSPMD-sharded. Set by
+    # parallel.train's shard_map implementation so the worst-k% quantile
+    # (the one cross-batch nonlinearity) gathers globally; see
+    # losses.flux_metrics.
+    batch_axis: str | None = None
 
     def field_config(self, error_scale_mrad: float) -> FieldConfig:
         return FieldConfig(
@@ -282,6 +288,7 @@ def step(
         actual,
         use_error_mask=cfg.use_error_mask,
         error_mask_ratio=cfg.error_mask_ratio,
+        batch_axis=cfg.batch_axis,
     )
 
     east = jnp.array([1.0, 0.0, 0.0], jnp.float32)

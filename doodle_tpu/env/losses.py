@@ -175,6 +175,7 @@ def flux_metrics(
     actual_normals: jax.Array,  # [B, N, 3]
     use_error_mask: bool = False,
     error_mask_ratio: float = 0.2,
+    batch_axis: str | None = None,
 ) -> dict[str, jax.Array]:
     """Core flux losses of ``HelioEnv.step`` (ref ``test_environment.py:427-457``).
 
@@ -182,6 +183,13 @@ def flux_metrics(
     error mask gates mse/dist to the worst ``error_mask_ratio`` fraction of
     images by mean absolute error (quantile with linear interpolation, like
     ``torch.quantile``).
+
+    ``batch_axis``: when the batch dimension is a shard_map-manual mesh axis
+    (each device sees a local slice), pass its name so the worst-k% cutoff —
+    the one cross-batch nonlinearity in the loss set — is computed over the
+    *global* batch via an ``all_gather`` of the per-image mean errors
+    (B floats; negligible ICI traffic). All other reductions are local
+    means, globalized by the caller's single post-step ``pmean``.
 
     Returns mse, dist, alignment_loss, plus the per-image mean-absolute-error
     (``mae_image``) and per-element alignment errors used by the monitor.
@@ -199,7 +207,12 @@ def flux_metrics(
     alignment = jnp.mean(align_all)
 
     if use_error_mask:
-        cutoff = jnp.quantile(avg_error, 1.0 - error_mask_ratio)
+        pool = (
+            avg_error
+            if batch_axis is None
+            else jax.lax.all_gather(avg_error, batch_axis, tiled=True)
+        )
+        cutoff = jnp.quantile(pool, 1.0 - error_mask_ratio)
         mask = (avg_error > cutoff).astype(pred_n.dtype)[:, None, None]
         mse = jnp.mean((pred_n * mask - targ_n * mask) ** 2)
         dist = jnp.mean(jnp.sum(mask * (err * distance_maps), axis=(1, 2)))

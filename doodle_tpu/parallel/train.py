@@ -2,18 +2,37 @@
 
 The data axis is the env batch: every device holds a slice of the suns ×
 error-samples batch (a slice of :class:`EnvState`), the policy parameters
-and optimizer state are replicated, and the gradient reduction is the
-``psum``/``pmean`` XLA inserts for the replicated-output jit — riding ICI.
+and optimizer state are replicated, and gradients are reduced over ICI.
 No host sync happens inside a step.
 
-This is plain ``jit`` + ``NamedSharding`` (GSPMD), not hand-written
-collectives: we annotate the placement of inputs/outputs and let the
-compiler partition the program (the scaling-book recipe). CI exercises the
-same code on a virtual CPU mesh; see ``__graft_entry__.dryrun_multichip``.
+Two implementations, selected by ``impl``:
+
+* ``"shard_map"`` (default, production): the per-device rollout + backward
+  runs as manual SPMD (``jax.shard_map``) and the gradient tree, loss, and
+  metric parts are reduced with **one explicit post-backward ``pmean``**.
+  The collective budget is therefore deterministic by construction: one
+  fused all-reduce of ~param-size outside every loop (plus, with the
+  worst-k% mask, a [B] float ``all_gather`` per env step for the global
+  quantile — see ``losses.flux_metrics``). Motivated by an HLO audit of
+  the GSPMD variant (``scripts/collective_audit.py``): GSPMD places the
+  gradient all-reduce *inside the backward scan body*, multiplying ICI
+  traffic by T.
+* ``"gspmd"``: plain ``jit`` + ``NamedSharding`` in/out annotations — the
+  compiler partitions the program (the scaling-book recipe). Kept because
+  it is bitwise-faithful to the unsharded program even when the step
+  consumes randomness (one global PRNG stream); the shard_map variant
+  folds the device index into the key (SURVEY hard part #3), giving
+  per-shard independent streams — identical *distribution*, different
+  draws.
+
+CI exercises both on a virtual CPU mesh; see
+``__graft_entry__.dryrun_multichip`` and ``tests/test_parallel.py``
+(including the pinned-collective-budget test).
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 import jax
@@ -42,55 +61,130 @@ def make_sharded_train_step(
     deterministic: bool = False,
     remat: bool = True,
     encode_once: bool = True,
+    impl: str = "shard_map",
 ) -> Callable:
     """Build ``step(params, opt_state, env_state, key, weights) →
     (params, opt_state, env_state, loss, parts)`` jitted over the mesh.
 
     ``env_state`` must be batch-sharded (see :func:`shard_env_state`);
-    params/opt_state replicated. ``env_cfg.batch_size`` is the GLOBAL batch.
-    The rollout runs on the sharded batch; loss reduction over the batch
-    triggers the cross-device mean; ``jax.grad`` of it yields the gradient
-    ``psum`` — all compiler-inserted, all on ICI.
+    params/opt_state replicated. ``env_cfg.batch_size`` is the GLOBAL batch
+    (must divide by the batch-axis size under ``impl="shard_map"``).
+
+    ``impl="shard_map"``: per-device rollout/backward, then ONE explicit
+    ``pmean`` of (grads, loss, parts) — auditable collective budget, PRNG
+    per shard via ``fold_in(key, axis_index)``.
+    ``impl="gspmd"``: compiler-partitioned; loss reduction over the batch
+    triggers the cross-device mean and ``jax.grad`` of it yields the
+    gradient ``psum`` — all compiler-inserted.
     """
     from ..env.env import EnvState
 
-    repl = NamedSharding(mesh, P())
-    bl = NamedSharding(mesh, P(BATCH_AXIS))
-    # Sharding pytree for EnvState: batch-leading arrays sharded, scalars
-    # replicated. Used as a jit in/out_shardings prefix tree.
-    state_shard = EnvState(
-        sun_pos=bl, errors=bl, ideal_normals=bl,
-        target_img=bl, distance_maps=bl, ref_min=repl, ref_max=repl,
+    def total_loss(parts, weights):
+        # where-guarded so a zero weight truly drops its term: with
+        # exponential_risk the bound can overflow to inf, and 0 * inf
+        # would otherwise poison the whole loss with NaN.
+        terms = jnp.stack([
+            parts["alignment_loss"], parts["bound"],
+            parts["mse"], parts["dist"],
+        ])
+        return jnp.sum(jnp.where(weights != 0, weights * terms, 0.0))
+
+    if impl == "gspmd":
+        repl = NamedSharding(mesh, P())
+        bl = NamedSharding(mesh, P(BATCH_AXIS))
+        # Sharding pytree for EnvState: batch-leading arrays sharded,
+        # scalars replicated. Used as a jit in/out_shardings prefix tree.
+        state_shard = EnvState(
+            sun_pos=bl, errors=bl, ideal_normals=bl,
+            target_img=bl, distance_maps=bl, ref_min=repl, ref_max=repl,
+        )
+
+        def step(params, opt_state, env_state, key, weights):
+            def loss_fn(p):
+                res = rollout(
+                    policy, p, scene, env_cfg, env_state, key,
+                    k=k, T=T, use_mean=use_mean,
+                    deterministic=deterministic, remat=remat,
+                    encode_once=encode_once,
+                )
+                return total_loss(res.losses, weights), (
+                    res.losses, res.env_state,
+                )
+
+            (loss, (parts, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, new_state, loss, parts
+
+        return jax.jit(
+            step,
+            in_shardings=(repl, repl, state_shard, repl, repl),
+            out_shardings=(repl, repl, state_shard, repl, repl),
+        )
+
+    if impl != "shard_map":
+        raise ValueError(f"impl must be 'shard_map' or 'gspmd', got {impl!r}")
+
+    n_shards = mesh.shape[BATCH_AXIS]
+    if env_cfg.batch_size % n_shards != 0:
+        raise ValueError(
+            f"global batch {env_cfg.batch_size} not divisible by "
+            f"batch-axis size {n_shards}"
+        )
+    local_cfg = dataclasses.replace(
+        env_cfg,
+        batch_size=env_cfg.batch_size // n_shards,
+        batch_axis=BATCH_AXIS,
     )
 
-    def step(params, opt_state, env_state, key, weights):
+    def local_step(params, opt_state, env_state, key, weights):
+        # Per-shard PRNG stream (SURVEY hard part #3): deterministic and
+        # mesh-shape-reproducible, independent across shards.
+        key = jax.random.fold_in(key, jax.lax.axis_index(BATCH_AXIS))
+
         def loss_fn(p):
             res = rollout(
-                policy, p, scene, env_cfg, env_state, key,
+                policy, p, scene, local_cfg, env_state, key,
                 k=k, T=T, use_mean=use_mean,
                 deterministic=deterministic, remat=remat,
                 encode_once=encode_once,
             )
-            parts = res.losses
-            # where-guarded so a zero weight truly drops its term: with
-            # exponential_risk the bound can overflow to inf, and 0 * inf
-            # would otherwise poison the whole loss with NaN.
-            terms = jnp.stack([
-                parts["alignment_loss"], parts["bound"],
-                parts["mse"], parts["dist"],
-            ])
-            total = jnp.sum(jnp.where(weights != 0, weights * terms, 0.0))
-            return total, (parts, res.env_state)
+            return total_loss(res.losses, weights), (
+                res.losses, res.env_state,
+            )
 
         (loss, (parts, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        # THE collective: one fused all-reduce of the gradient tree + loss
+        # + metric scalars, after the backward scan has fully accumulated
+        # locally. Equal shard sizes make the mean of shard-means the
+        # global mean.
+        grads, loss, parts = jax.lax.pmean(
+            (grads, loss, parts), BATCH_AXIS
+        )
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, new_state, loss, parts
 
-    return jax.jit(
-        step,
-        in_shardings=(repl, repl, state_shard, repl, repl),
-        out_shardings=(repl, repl, state_shard, repl, repl),
+    state_spec = EnvState(
+        sun_pos=P(BATCH_AXIS), errors=P(BATCH_AXIS),
+        ideal_normals=P(BATCH_AXIS), target_img=P(BATCH_AXIS),
+        distance_maps=P(BATCH_AXIS), ref_min=P(), ref_max=P(),
     )
+    shard = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), state_spec, P(), P()),
+        out_specs=(P(), P(), state_spec, P(), P()),
+        # rollout's scan seeds its carry with zero templates, which the
+        # varying-manual-axes checker types as unvarying while the loop
+        # outputs are device-varying; the shared rollout shouldn't grow
+        # pcasts for this caller, so replication checking is off here and
+        # the replicated-output property is covered by the parity test
+        # (tests/test_parallel.py::test_shard_map_train_step_matches_unsharded).
+        check_vma=False,
+    )
+    return jax.jit(shard)

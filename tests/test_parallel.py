@@ -81,8 +81,8 @@ def test_helio_sharded_render_rejects_indivisible(scene8):
 
 
 def test_sharded_train_step_matches_unsharded(scene8):
-    """One DP-sharded train step must equal the single-device step bitwise
-    (same math, different placement)."""
+    """One DP-sharded (GSPMD) train step must equal the single-device step
+    bitwise (same math, different placement)."""
     cfg = env_lib.EnvConfig(
         resolution=16, batch_size=8, sigma_scale=0.1, error_scale_mrad=30.0
     )
@@ -99,7 +99,8 @@ def test_sharded_train_step_matches_unsharded(scene8):
 
     mesh = make_mesh(8)
     sharded_step = make_sharded_train_step(
-        policy, scene8, cfg, opt, mesh, k=2, T=2, deterministic=True
+        policy, scene8, cfg, opt, mesh, k=2, T=2, deterministic=True,
+        impl="gspmd",
     )
     s_state = shard_env_state(mesh, state)
     p1, o1, st1, loss1, parts1 = sharded_step(
@@ -126,6 +127,173 @@ def test_sharded_train_step_matches_unsharded(scene8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     # The sharded step really ran on 8 devices
     assert len(loss1.devices()) == 8 or loss1.sharding.is_fully_replicated
+
+
+def _policy_setup(scene8, cfg, use_error_mask=False):
+    policy = PolicyNet(num_heliostats=8, enc_dim=16, lstm_hid=16,
+                       architecture="lstm", dropout=0.0)
+    img = jnp.zeros((8, 2, 16, 16))
+    aux = jnp.zeros((8, 3 + 24))
+    params = policy.init(jax.random.PRNGKey(1), img, aux,
+                         policy.init_carry(8))
+    return policy, params
+
+
+def test_shard_map_train_step_matches_unsharded(scene8):
+    """The shard_map train step (explicit single pmean) must match the
+    single-device step when the step consumes no randomness (errors kept,
+    init noise zero, deterministic policy) — up to reduction order.
+
+    sigma_scale=0.01 (trainer-grade): at 0.1 the flux is near-uniform and
+    every per-image mean error ties to the ulp, making the worst-k% mask
+    noise-dominated on both sides (CLAUDE.md gotcha)."""
+    cfg = env_lib.EnvConfig(
+        resolution=16, batch_size=8, sigma_scale=0.01, error_scale_mrad=30.0,
+        new_errors_every_reset=False, field_init_noise=0.0,
+        use_error_mask=True,
+    )
+    state = env_lib.init_state(scene8, cfg, jax.random.PRNGKey(0))
+    policy, params = _policy_setup(scene8, cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    weights = jnp.array([1.0, 0.0, 1.0, 1.0])
+    key = jax.random.PRNGKey(5)
+
+    mesh = make_mesh(8)
+    step = make_sharded_train_step(
+        policy, scene8, cfg, opt, mesh, k=2, T=2, deterministic=True,
+        impl="shard_map",
+    )
+    s_state = shard_env_state(mesh, state)
+    p1, o1, st1, loss1, parts1 = step(params, opt_state, s_state, key, weights)
+
+    def plain_step(params, opt_state, env_state, key, weights):
+        def loss_fn(p):
+            res = rollout(policy, p, scene8, cfg, env_state, key,
+                          k=2, T=2, deterministic=True)
+            parts = res.losses
+            total = (weights[0] * parts["alignment_loss"]
+                     + weights[2] * parts["mse"] + weights[3] * parts["dist"])
+            return total, parts
+
+        (loss, parts), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, up), opt_state, loss, parts
+
+    p2, o2, loss2, parts2 = jax.jit(plain_step)(
+        params, opt_state, state, key, weights
+    )
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    assert float(parts2["mse"]) > 0, "mask degenerate — test config is moot"
+    for k_, v in parts1.items():
+        np.testing.assert_allclose(
+            float(v), float(parts2[k_]), rtol=1e-5, atol=1e-7,
+            err_msg=f"metric {k_} diverged",
+        )
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_shard_map_rejects_indivisible_batch(scene8):
+    cfg = env_lib.EnvConfig(resolution=16, batch_size=7)
+    policy, _ = _policy_setup(scene8, cfg)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_train_step(
+            policy, scene8, cfg, optax.adam(1e-3), make_mesh(8), k=2, T=2,
+            impl="shard_map",
+        )
+
+
+def test_collective_budget(scene8):
+    """Pin the collective budget of the compiled train step (VERDICT r1 #1).
+
+    shard_map impl: exactly ONE all-reduce (the fused grads+loss+parts
+    pmean), payload ≈ param bytes, placed OUTSIDE every loop, plus only
+    tiny [B]-float all-gathers for the worst-k% quantile. Any change that
+    introduces extra syncs — or lets the gradient reduction slip inside
+    the backward scan — fails here.
+    """
+    from doodle_tpu.parallel.audit import (
+        annotate_loop_placement,
+        collective_summary,
+    )
+
+    cfg = env_lib.EnvConfig(
+        resolution=16, batch_size=8, sigma_scale=0.1, error_scale_mrad=30.0,
+        use_error_mask=True,
+    )
+    state = env_lib.init_state(scene8, cfg, jax.random.PRNGKey(0))
+    policy, params = _policy_setup(scene8, cfg)
+    opt = optax.adam(1e-3)
+    mesh = make_mesh(8)
+    weights = jnp.array([1.0, 0.0, 1.0, 1.0])
+
+    step = make_sharded_train_step(
+        policy, scene8, cfg, opt, mesh, k=2, T=3, deterministic=True,
+        impl="shard_map",
+    )
+    s_state = shard_env_state(mesh, state)
+    compiled = step.lower(
+        params, opt.init(params), s_state, jax.random.PRNGKey(5), weights
+    ).compile()
+    placed = annotate_loop_placement(compiled.as_text())
+
+    allreduces = [(c, il) for c, il in placed if c.op == "all-reduce"]
+    others = [(c, il) for c, il in placed
+              if c.op not in ("all-reduce", "all-gather")]
+    gathers = [(c, il) for c, il in placed if c.op == "all-gather"]
+
+    assert len(allreduces) == 1, (
+        f"expected exactly 1 all-reduce, got "
+        f"{[(c.op, c.result_shape) for c, _ in allreduces]}"
+    )
+    ar, in_loop = allreduces[0]
+    assert not in_loop, "gradient all-reduce slipped inside a loop body"
+    param_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
+    )
+    # grads tree + loss + 4 metric scalars, fused into one op
+    assert param_bytes <= ar.bytes <= param_bytes + 64, (
+        f"all-reduce payload {ar.bytes} vs params {param_bytes}"
+    )
+    assert ar.group_size == 8
+    # worst-k% quantile gathers: [B]-float only (tiny, allowed in-loop)
+    for c, _ in gathers:
+        assert c.bytes <= 4 * cfg.batch_size, (
+            f"unexpectedly large all-gather {c.result_shape}"
+        )
+    assert not others, (
+        f"unexpected collectives: {[(c.op, c.result_shape) for c, _ in others]}"
+    )
+
+
+def test_collective_budget_gspmd_allreduce_only(scene8):
+    """The GSPMD impl may fuse/place differently, but it must still emit
+    only all-reduces (plus quantile all-gathers) — never permutes or
+    all-to-alls — and no more than a handful."""
+    from doodle_tpu.parallel.audit import parse_collectives
+
+    cfg = env_lib.EnvConfig(
+        resolution=16, batch_size=8, sigma_scale=0.1, error_scale_mrad=30.0,
+    )
+    state = env_lib.init_state(scene8, cfg, jax.random.PRNGKey(0))
+    policy, params = _policy_setup(scene8, cfg)
+    opt = optax.adam(1e-3)
+    mesh = make_mesh(8)
+    step = make_sharded_train_step(
+        policy, scene8, cfg, opt, mesh, k=2, T=2, deterministic=True,
+        impl="gspmd",
+    )
+    s_state = shard_env_state(mesh, state)
+    compiled = step.lower(
+        params, opt.init(params), s_state, jax.random.PRNGKey(5),
+        jnp.array([1.0, 0.0, 0.0, 0.0]),
+    ).compile()
+    colls = parse_collectives(compiled.as_text())
+    assert all(c.op == "all-reduce" for c in colls), (
+        [(c.op, c.result_shape) for c in colls]
+    )
+    assert len(colls) <= 4
 
 
 def test_sharded_transformer_large_field():
