@@ -12,9 +12,15 @@ Everything here works identically on a real pod slice and on a virtual
 ``xla_force_host_platform_device_count`` CPU mesh (how CI exercises it).
 """
 
+from .audit import (
+    annotate_loop_placement,
+    collective_summary,
+    modeled_efficiency,
+    parse_collectives,
+)
 from .mesh import BATCH_AXIS, HELIO_AXIS, make_mesh, shard_batch, shard_env_state
 from .render import render_helio_sharded
-from .train import make_sharded_train_step
+from .train import make_sharded_train_step, make_sharded_ttt_step
 
 __all__ = [
     "make_mesh",
@@ -24,4 +30,9 @@ __all__ = [
     "HELIO_AXIS",
     "render_helio_sharded",
     "make_sharded_train_step",
+    "make_sharded_ttt_step",
+    "parse_collectives",
+    "annotate_loop_placement",
+    "collective_summary",
+    "modeled_efficiency",
 ]

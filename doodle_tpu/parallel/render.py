@@ -6,6 +6,12 @@ each device computes the splat contribution of its mirror chunk, and the
 flux images are summed with a single ``psum`` over ICI — the reduction over
 heliostats *is* the collective. The flux image is linear in per-mirror
 contributions, so this is exact.
+
+On a 2-axis ``(batch, helio)`` mesh the sun batch is simultaneously
+sharded over the ``batch`` axis (each device renders its [B/nb, N/nh]
+block), so the same function is the combined DP × mirror-parallel
+program; the batch axis needs no collective (images are per-sun) and is
+a no-op when its size is 1.
 """
 
 from __future__ import annotations
@@ -20,7 +26,7 @@ from ..core.field import apply_orientation_errors
 from ..core.scene import FieldConfig, Scene
 from ..ops.optics import normalize, ray_plane_intersect, reflect
 from ..ops.splat import splat_factors, splat_image
-from .mesh import HELIO_AXIS
+from .mesh import BATCH_AXIS, HELIO_AXIS
 
 __all__ = ["render_helio_sharded"]
 
@@ -33,15 +39,23 @@ def render_helio_sharded(
     errors_mrad: jax.Array,   # [B, N, 2]           (sharded over N)
     mesh: Mesh,
 ) -> jax.Array:
-    """Render ``[B, res, res]`` flux images with the heliostat axis sharded.
+    """Render ``[B, res, res]`` flux images with the heliostat axis sharded
+    (and, on a 2-axis mesh, the sun batch sharded over ``batch``).
 
     ``scene.heliostat_pos``/``normals``/``errors_mrad`` must have N divisible
-    by the ``helio`` mesh-axis size. Returns fully-summed (replicated) images.
+    by the ``helio`` mesh-axis size and B divisible by the ``batch`` axis
+    size. Returns images summed over heliostats, batch-sharded like the
+    inputs (replicated when the batch axis has size 1).
     """
     n_shards = mesh.shape[HELIO_AXIS]
+    nb = mesh.shape[BATCH_AXIS]
     N = scene.num_heliostats
     if N % n_shards != 0:
         raise ValueError(f"N={N} not divisible by helio shards={n_shards}")
+    if sun_pos.shape[0] % nb != 0:
+        raise ValueError(
+            f"B={sun_pos.shape[0]} not divisible by batch shards={nb}"
+        )
 
     def local_render(helio_pos, sun, act, errs):
         # Everything here sees the local [B, N/n, ...] chunk.
@@ -65,11 +79,11 @@ def render_helio_sharded(
         local_render,
         mesh=mesh,
         in_specs=(
-            P(HELIO_AXIS, None),        # heliostat positions [N, 3]
-            P(),                        # suns replicated
-            P(None, HELIO_AXIS, None),  # normals [B, N, 3]
-            P(None, HELIO_AXIS, None),  # errors [B, N, 2]
+            P(HELIO_AXIS, None),              # heliostat positions [N, 3]
+            P(BATCH_AXIS),                    # suns [B, 3]
+            P(BATCH_AXIS, HELIO_AXIS, None),  # normals [B, N, 3]
+            P(BATCH_AXIS, HELIO_AXIS, None),  # errors [B, N, 2]
         ),
-        out_specs=P(),
+        out_specs=P(BATCH_AXIS),
     )
     return shard(scene.heliostat_pos, sun_pos, normals, errors_mrad)

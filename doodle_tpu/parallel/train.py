@@ -46,7 +46,7 @@ from ..models.policy import PolicyNet
 from ..train.rollout import rollout
 from .mesh import BATCH_AXIS
 
-__all__ = ["make_sharded_train_step"]
+__all__ = ["make_sharded_train_step", "make_sharded_ttt_step"]
 
 
 def make_sharded_train_step(
@@ -186,5 +186,84 @@ def make_sharded_train_step(
         # the replicated-output property is covered by the parity test
         # (tests/test_parallel.py::test_shard_map_train_step_matches_unsharded).
         check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+def make_sharded_ttt_step(
+    policy: PolicyNet,
+    scene: Scene,
+    env_cfg: EnvConfig,
+    opt: optax.GradientTransformation,
+    mesh: Mesh,
+    k: int,
+    T: int,
+    truncate_every: int | None = None,
+    deterministic: bool = True,
+    **ttt_kw,
+) -> Callable:
+    """Mesh-sharded TTT train step (shard_map, single post-backward pmean).
+
+    Same contract as :func:`make_sharded_train_step` with
+    ``impl="shard_map"`` but running :func:`doodle_tpu.train.ttt.ttt_rollout`
+    (residual actions, truncated BPTT, optional test-time-compute inner
+    loop) as the per-device program. The policy must be built with
+    ``normalize_output=False`` (the TTT contract, ``train/ttt.py``).
+    ``ttt_kw`` is forwarded to ``ttt_rollout`` (e.g. ``enable_fine``,
+    ``fine_steps_per_t``).
+    """
+    from ..env.env import EnvState
+    from ..train.ttt import ttt_rollout
+
+    n_shards = mesh.shape[BATCH_AXIS]
+    if env_cfg.batch_size % n_shards != 0:
+        raise ValueError(
+            f"global batch {env_cfg.batch_size} not divisible by "
+            f"batch-axis size {n_shards}"
+        )
+    local_cfg = dataclasses.replace(
+        env_cfg,
+        batch_size=env_cfg.batch_size // n_shards,
+        batch_axis=BATCH_AXIS,
+    )
+
+    def local_step(params, opt_state, env_state, key, weights):
+        key = jax.random.fold_in(key, jax.lax.axis_index(BATCH_AXIS))
+
+        def loss_fn(p):
+            res = ttt_rollout(
+                policy, p, scene, local_cfg, env_state, key,
+                k=k, T=T, truncate_every=truncate_every,
+                deterministic=deterministic, **ttt_kw,
+            )
+            parts = res.losses
+            terms = jnp.stack([
+                parts["alignment_loss"], parts["bound"],
+                parts["mse"], parts["dist"],
+            ])
+            total = jnp.sum(jnp.where(weights != 0, weights * terms, 0.0))
+            return total, (parts, res.env_state)
+
+        (loss, (parts, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        grads, loss, parts = jax.lax.pmean(
+            (grads, loss, parts), BATCH_AXIS
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, new_state, loss, parts
+
+    state_spec = EnvState(
+        sun_pos=P(BATCH_AXIS), errors=P(BATCH_AXIS),
+        ideal_normals=P(BATCH_AXIS), target_img=P(BATCH_AXIS),
+        distance_maps=P(BATCH_AXIS), ref_min=P(), ref_max=P(),
+    )
+    shard = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), state_spec, P(), P()),
+        out_specs=(P(), P(), state_spec, P(), P()),
+        check_vma=False,  # see make_sharded_train_step
     )
     return jax.jit(shard)
