@@ -62,6 +62,7 @@ def make_sharded_train_step(
     remat: bool = True,
     encode_once: bool = True,
     impl: str = "shard_map",
+    unroll: int | None = None,
 ) -> Callable:
     """Build ``step(params, opt_state, env_state, key, weights) →
     (params, opt_state, env_state, loss, parts)`` jitted over the mesh.
@@ -78,6 +79,11 @@ def make_sharded_train_step(
     gradient ``psum`` — all compiler-inserted.
     """
     from ..env.env import EnvState
+
+    # auto: unroll the rollout scan on CPU meshes (XLA:CPU's while-body
+    # slow path, see train/rollout.py), compact scan on accelerators.
+    if unroll is None:
+        unroll = T if mesh.devices.flat[0].platform == "cpu" else 1
 
     def total_loss(parts, weights):
         # where-guarded so a zero weight truly drops its term: with
@@ -105,7 +111,7 @@ def make_sharded_train_step(
                     policy, p, scene, env_cfg, env_state, key,
                     k=k, T=T, use_mean=use_mean,
                     deterministic=deterministic, remat=remat,
-                    encode_once=encode_once,
+                    encode_once=encode_once, unroll=unroll,
                 )
                 return total_loss(res.losses, weights), (
                     res.losses, res.env_state,
@@ -149,7 +155,7 @@ def make_sharded_train_step(
                 policy, p, scene, local_cfg, env_state, key,
                 k=k, T=T, use_mean=use_mean,
                 deterministic=deterministic, remat=remat,
-                encode_once=encode_once,
+                encode_once=encode_once, unroll=unroll,
             )
             return total_loss(res.losses, weights), (
                 res.losses, res.env_state,

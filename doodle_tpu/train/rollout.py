@@ -67,6 +67,7 @@ def rollout(
     deterministic: bool = True,
     remat: bool = True,
     encode_once: bool = True,
+    unroll: int | bool = 1,
 ) -> RolloutResult:
     """Reset the env, run T policy/env steps, return the loss dict.
 
@@ -84,6 +85,13 @@ def rollout(
     ``encode_once``: cache per-frame encodings across steps (see module
     docstring). Gradient-exact; bitwise-equivalent forward in deterministic
     mode up to conv-batching order.
+
+    ``unroll``: passed to ``lax.scan``. Keep 1 on TPU (compact program,
+    fast compile). On the CPU backend pass ``True``: XLA:CPU runs ops
+    inside ``while`` bodies on a slow serial path — the scan *backward* of
+    this rollout measures ~60× slower than the identical unrolled program
+    (37 s vs 0.6 s per train step at N=10/res=64/B=8/T=2, 2026-08-19) —
+    and unrolling restores the parallel thunks. Value-identical either way.
     """
     B = cfg.batch_size
     res = cfg.resolution
@@ -179,6 +187,7 @@ def rollout(
             body,
             (hist0, carry0, zero_losses, jax.lax.stop_gradient(img), monitor0),
             step_keys,
+            unroll=unroll,
         )
     )
 

@@ -137,8 +137,18 @@ class TrainConfig:
     # Overlap the per-step device→host scalar fetch + host work with the
     # next step's device compute (dispatch-then-process). Scheduler and
     # boundary-phase weights react one step later than the reference's
-    # serial loop; False restores strictly serial sequencing.
+    # serial loop; False restores strictly serial sequencing. Auto-disabled
+    # for scheduler="plateau" — the one scheduler whose decisions are
+    # metric-dependent, where the one-step delay is most visible (the
+    # others are step-indexed, so the delay only shifts WHEN a
+    # predetermined lr lands, and the phase weights are constant under the
+    # shipped alignment_always behavior).
     pipeline_host: bool = True
+    # lax.scan unroll for the rollout. None = auto: fully unroll on the CPU
+    # backend (XLA:CPU runs while-body ops on a slow serial path — the scan
+    # backward is ~60× slower than the unrolled equivalent), keep the
+    # compact scan on accelerators. Int/True to force.
+    scan_unroll: int | None = None
     precision: str = "default"
     # Splat backend for all envs: "auto" picks the fused Pallas kernel for
     # large fields and the XLA separable path below (see FieldConfig).
@@ -403,6 +413,12 @@ def train_and_eval(
         )
         train_states = jax.device_put(train_states, _state_shard)
 
+    # Rollout scan unroll: auto = unroll fully on CPU (slow while-body
+    # path, see TrainConfig.scan_unroll), compact scan on accelerators.
+    unroll = cfg.scan_unroll
+    if unroll is None:
+        unroll = cfg.T if jax.default_backend() == "cpu" else 1
+
     # ---- the one jitted train step
     def train_step(params, opt_state, states, key, weights):
         def terms_fn(p):
@@ -412,7 +428,7 @@ def train_and_eval(
                     policy, p, scene, env_cfg, s, k,
                     k=cfg.k, T=cfg.T,
                     use_mean=cfg.use_mean, deterministic=False,
-                    encode_once=cfg.encode_once,
+                    encode_once=cfg.encode_once, unroll=unroll,
                 )
             )(states, keys)
             parts = jax.tree.map(jnp.mean, results.losses)   # mean over envs
@@ -495,7 +511,7 @@ def train_and_eval(
         return rollout(
             policy, params, scene, test_cfg, state, key,
             k=cfg.k, T=cfg.T, deterministic=True,
-            encode_once=cfg.encode_once,
+            encode_once=cfg.encode_once, unroll=unroll,
         )
 
     # ---- scheduler machinery (host-side, like the reference)
@@ -701,7 +717,7 @@ def train_and_eval(
         )
         item = (step_i, scalars, results, grad_means, params, opt_state,
                 train_states, k_eval)
-        if cfg.pipeline_host:
+        if cfg.pipeline_host and cfg.scheduler != "plateau":
             # Dispatch-then-process: the fetch inside process() waits on the
             # PREVIOUS step, which the device finishes while this one runs.
             item, pending = pending, item

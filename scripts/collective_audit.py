@@ -89,9 +89,11 @@ def build_compiled_step(num_heliostats, resolution, batch_size, k, T,
     mesh = make_mesh(n_devices)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
     opt_state_sds = jax.eval_shape(opt.init, params)
+    # unroll=1: audit the TPU-shaped program (real scan), not the CPU-mesh
+    # auto-unrolled variant.
     step = make_sharded_train_step(
         policy, scene, cfg, opt, mesh, k=k, T=T, deterministic=True,
-        impl=impl,
+        impl=impl, unroll=1,
     )
     params_sds = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params

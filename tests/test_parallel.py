@@ -228,9 +228,12 @@ def test_collective_budget(scene8):
     mesh = make_mesh(8)
     weights = jnp.array([1.0, 0.0, 1.0, 1.0])
 
+    # unroll=1 pins the TPU-shaped program (a real scan, so the
+    # outside-every-loop property is non-trivial); the CPU-mesh auto
+    # default would unroll the loop away.
     step = make_sharded_train_step(
         policy, scene8, cfg, opt, mesh, k=2, T=3, deterministic=True,
-        impl="shard_map",
+        impl="shard_map", unroll=1,
     )
     s_state = shard_env_state(mesh, state)
     compiled = step.lower(
