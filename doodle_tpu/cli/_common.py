@@ -63,6 +63,24 @@ def write_metrics_out(path: str | None, objective: float) -> None:
             json.dump({"objective": float(objective)}, f)
 
 
+def add_platform_arg(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--platform", type=str, default=None,
+        help="force a JAX backend (e.g. 'cpu'). Needed for CPU HPO "
+        "children: the axon TPU plugin in this image ignores the "
+        "JAX_PLATFORMS env var, so the config API is the only override.",
+    )
+
+
+def apply_platform(args: argparse.Namespace) -> None:
+    """Must run before any JAX backend is touched (i.e. first thing in
+    ``main``, before building envs/policies)."""
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
 def make_writer(args: argparse.Namespace):
     """--logdir → JsonlWriter (+TensorBoard with --tensorboard)."""
     if not getattr(args, "logdir", None):

@@ -9,7 +9,14 @@ from __future__ import annotations
 import argparse
 
 from ..train import TrainConfig, train_and_eval
-from ._common import add_dataclass_args, config_from_args, make_writer, write_metrics_out
+from ._common import (
+    add_dataclass_args,
+    add_platform_arg,
+    apply_platform,
+    config_from_args,
+    make_writer,
+    write_metrics_out,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -20,11 +27,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--monitor_dir", type=str, default=None,
                    help="dump 3-D scatter diagnostics here every 50 steps")
     p.add_argument("--metrics_out", type=str, default=None)
+    add_platform_arg(p)
     return p
 
 
 def main(argv=None) -> float:
     args = build_parser().parse_args(argv)
+    apply_platform(args)
     cfg = config_from_args(args, TrainConfig)
     writer = make_writer(args)
 

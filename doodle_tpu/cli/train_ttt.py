@@ -10,7 +10,14 @@ from __future__ import annotations
 import argparse
 
 from ..train import TTTConfig, ttt_train_and_eval
-from ._common import add_dataclass_args, config_from_args, make_writer, write_metrics_out
+from ._common import (
+    add_dataclass_args,
+    add_platform_arg,
+    apply_platform,
+    config_from_args,
+    make_writer,
+    write_metrics_out,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -19,11 +26,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--logdir", type=str, default=None)
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--metrics_out", type=str, default=None)
+    add_platform_arg(p)
     return p
 
 
 def main(argv=None) -> float:
     args = build_parser().parse_args(argv)
+    apply_platform(args)
     cfg = config_from_args(args, TTTConfig)
     writer = make_writer(args)
     best = ttt_train_and_eval(cfg, writer=writer)

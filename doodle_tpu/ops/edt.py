@@ -29,7 +29,10 @@ import jax.numpy as jnp
 
 __all__ = ["edt", "distance_maps"]
 
-_BIG = jnp.float32(1e12)
+# Plain Python float: a module-level jnp constant would initialize the
+# default JAX backend at import time, defeating any later
+# jax.config.update("jax_platforms", ...) (e.g. cli --platform cpu).
+_BIG = 1e12
 
 
 def _sq_offsets(n: int) -> jax.Array:
