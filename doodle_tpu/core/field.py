@@ -75,8 +75,12 @@ def render(
 
     if cfg.error_model == "additive":
         # Generation-1 error model (``newenv/newenv.py:122-123``): additive
-        # 3-vector on the normal, renormalized, no up-axis clamp.
-        actual = normalize(normals + errors_mrad)             # [B, N, 3]
+        # 3-vector on the normal, renormalized, no up-axis clamp. The
+        # reference always adds to *unit* ideal normals; normalizing the
+        # action first keeps the perturbation magnitude independent of the
+        # action's norm (actions here "need not be unit") — identical
+        # values for unit inputs.
+        actual = normalize(normalize(normals) + errors_mrad)  # [B, N, 3]
     else:
         actual = apply_orientation_errors(normals, errors_mrad)  # [B, N, 3]
 

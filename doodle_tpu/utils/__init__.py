@@ -8,7 +8,13 @@ Parity targets: ``mlflow_logger.py`` (MLflow SummaryWriter shim),
 """
 
 from .checkpoint import restore_checkpoint, save_checkpoint
-from .logging import JsonlWriter, MLflowWriter, MultiWriter, TensorBoardWriter
+from .logging import (
+    JsonlWriter,
+    MLflowFileStoreWriter,
+    MLflowWriter,
+    MultiWriter,
+    TensorBoardWriter,
+)
 from .nan_guard import check_finite, find_nonfinite
 from .plotting import field_scene_html, scatter3d_vectors
 from .profiling import StepTimer, trace
@@ -17,6 +23,7 @@ __all__ = [
     "JsonlWriter",
     "TensorBoardWriter",
     "MLflowWriter",
+    "MLflowFileStoreWriter",
     "MultiWriter",
     "field_scene_html",
     "scatter3d_vectors",

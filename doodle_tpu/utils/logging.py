@@ -7,7 +7,11 @@ Here the same protocol has three interchangeable backends:
 * :class:`JsonlWriter`       — dependency-free, one JSON line per event
   (the always-available default; trivially greppable/plottable);
 * :class:`TensorBoardWriter` — ``torch.utils.tensorboard`` when available;
-* :class:`MLflowWriter`      — the reference's backend, import-gated.
+* :class:`MLflowWriter`      — the reference's backend, import-gated;
+* :class:`MLflowFileStoreWriter` — dependency-free writer emitting the
+  MLflow *file-store* on-disk layout (``mlruns/<exp>/<run>/metrics/…``),
+  so runs are browsable with ``mlflow ui`` on any machine that has mlflow
+  — without requiring the package here.
 
 :class:`MultiWriter` fans out to several.
 """
@@ -17,11 +21,18 @@ from __future__ import annotations
 import json
 import pathlib
 import time
+import uuid
 from typing import Any
 
 import numpy as np
 
-__all__ = ["JsonlWriter", "TensorBoardWriter", "MLflowWriter", "MultiWriter"]
+__all__ = [
+    "JsonlWriter",
+    "TensorBoardWriter",
+    "MLflowWriter",
+    "MLflowFileStoreWriter",
+    "MultiWriter",
+]
 
 
 class JsonlWriter:
@@ -154,6 +165,122 @@ class MLflowWriter:
 
     def close(self):
         self._mlflow.end_run()
+
+
+class MLflowFileStoreWriter:
+    """MLflow logging without the mlflow package: writes the FileStore
+    on-disk contract directly.
+
+    Layout (what ``mlflow.set_tracking_uri("file:<root>")`` produces):
+
+    * ``<root>/<experiment_id>/meta.yaml`` — experiment metadata
+    * ``<root>/<experiment_id>/<run_id>/meta.yaml`` — run metadata
+    * ``.../params/<name>`` — one file per param, the value as text
+    * ``.../metrics/<name>`` — one line per point: ``<ts_ms> <value> <step>``
+    * ``.../artifacts/`` — artifact files (images go here as .npy)
+    * ``.../tags/mlflow.runName`` — run name
+
+    The reference logs to a live MLflow server (``mlflow_logger.py:17``,
+    tracking URI "databricks"); this backend keeps the same writer surface
+    and produces a store ``mlflow ui`` can open, with zero dependencies —
+    the right trade for an air-gapped TPU pod. Metric tags are namespaced
+    with "." like the reference's shim ("/" is illegal in file names).
+    """
+
+    def __init__(
+        self,
+        root: str = "mlruns",
+        experiment_name: str = "doodle_tpu",
+        run_name: str | None = None,
+        params: dict[str, Any] | None = None,
+    ) -> None:
+        self.root = pathlib.Path(root)
+        self.experiment_id = "0"
+        exp_dir = self.root / self.experiment_id
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        if not (exp_dir / "meta.yaml").exists():
+            (exp_dir / "meta.yaml").write_text(
+                f"artifact_location: {exp_dir.resolve()}\n"
+                f"experiment_id: '{self.experiment_id}'\n"
+                f"lifecycle_stage: active\n"
+                f"name: {experiment_name}\n"
+            )
+        self.run_id = uuid.uuid4().hex
+        self.run_dir = exp_dir / self.run_id
+        for sub in ("params", "metrics", "artifacts", "tags"):
+            (self.run_dir / sub).mkdir(parents=True, exist_ok=True)
+        start_ms = int(time.time() * 1000)
+        (self.run_dir / "meta.yaml").write_text(
+            f"artifact_uri: {(self.run_dir / 'artifacts').resolve()}\n"
+            f"end_time: null\n"
+            f"experiment_id: '{self.experiment_id}'\n"
+            f"lifecycle_stage: active\n"
+            f"run_id: {self.run_id}\n"
+            f"run_name: {run_name or self.run_id[:8]}\n"
+            f"run_uuid: {self.run_id}\n"
+            f"start_time: {start_ms}\n"
+            f"status: 1\n"
+            f"user_id: doodle_tpu\n"
+        )
+        (self.run_dir / "tags" / "mlflow.runName").write_text(
+            run_name or self.run_id[:8]
+        )
+        if params:
+            self.log_params(params)
+
+    @staticmethod
+    def _safe(tag: str) -> str:
+        return tag.replace("/", ".")
+
+    def log_params(self, params: dict[str, Any]) -> None:
+        for k, v in params.items():
+            (self.run_dir / "params" / self._safe(str(k))).write_text(
+                str(v)[:500]
+            )
+
+    def add_scalar(self, tag: str, value, step: int) -> None:
+        with open(self.run_dir / "metrics" / self._safe(tag), "a") as f:
+            f.write(f"{int(time.time() * 1000)} {float(value)} {int(step)}\n")
+
+    def add_images(self, tag, img_tensor, global_step, dataformats="NCHW"):
+        imgs = np.asarray(img_tensor)
+        if dataformats == "NCHW":
+            imgs = imgs.transpose(0, 2, 3, 1)
+        imgs = np.clip(imgs, 0.0, 1.0)[:16]  # ref shim contract (:51-78)
+        out = self.run_dir / "artifacts" / self._safe(tag)
+        out.mkdir(parents=True, exist_ok=True)
+        np.save(out / f"{global_step}.npy", imgs)
+
+    def log_artifact(self, path: str) -> None:
+        import shutil
+
+        src = pathlib.Path(path)
+        dst = self.run_dir / "artifacts" / src.name
+        if src.is_dir():
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, dst)
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        meta = self.run_dir / "meta.yaml"
+        text = meta.read_text().replace(
+            "end_time: null", f"end_time: {int(time.time() * 1000)}"
+        ).replace("status: 1", "status: 3")  # FINISHED
+        meta.write_text(text)
+
+    # ------------------------------------------------------- read-back
+    def read_metric(self, tag: str) -> list[tuple[int, float, int]]:
+        """Parse a metric file back to [(ts_ms, value, step), ...] — used
+        by the round-trip tests and handy for quick host-side analysis."""
+        p = self.run_dir / "metrics" / self._safe(tag)
+        out = []
+        for line in p.read_text().splitlines():
+            ts, v, s = line.split()
+            out.append((int(ts), float(v), int(s)))
+        return out
 
 
 class MultiWriter:

@@ -36,6 +36,7 @@ def main() -> None:
     ap.add_argument("--error_scale_mrad", type=float, default=90.0)
     args = ap.parse_args()
     out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
 
     key = jax.random.PRNGKey(0)
     k_geo, k_field = jax.random.split(key)

@@ -2,6 +2,7 @@
 orbax checkpoint round-trip."""
 
 import json
+import re
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,65 @@ def test_multi_writer_fanout(tmp_path):
     for d in ("a", "b"):
         text = (tmp_path / d / "metrics.jsonl").read_text()
         assert "scalar" in text and "params" in text and "sun" in text
+
+
+def test_tensorboard_writer_event_file_roundtrip(tmp_path):
+    """Live-backend smoke (VERDICT r1 #8): write scalars + images through
+    TensorBoardWriter, then read the event file back with the tensorboard
+    EventAccumulator and check the values survived."""
+    tb = pytest.importorskip("tensorboard")  # noqa: F841
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    from doodle_tpu.utils import TensorBoardWriter
+
+    w = TensorBoardWriter(str(tmp_path), params={"lr": 1e-3})
+    for step, v in enumerate([3.5, 2.25, 1.125]):
+        w.add_scalar("loss/total", v, step)
+    w.add_images("flux", np.random.rand(2, 1, 8, 8).astype(np.float32), 0)
+    w.flush()
+    w.close()
+
+    acc = EventAccumulator(str(tmp_path))
+    acc.Reload()
+    got = [(e.step, e.value) for e in acc.Scalars("loss/total")]
+    assert got == [(0, 3.5), (1, 2.25), (2, 1.125)]
+    assert acc.Images("flux") or acc.Tags().get("images")
+
+
+def test_mlflow_filestore_writer_roundtrip(tmp_path):
+    """The dependency-free mlruns/ file-store backend: metrics, params,
+    images and artifacts land in the documented MLflow FileStore layout
+    and read back with the exact values."""
+    from doodle_tpu.utils.logging import MLflowFileStoreWriter
+
+    w = MLflowFileStoreWriter(
+        root=str(tmp_path / "mlruns"), experiment_name="exp",
+        run_name="r1", params={"lr": 0.001, "arch": "lstm"},
+    )
+    for step, v in enumerate([10.0, 5.0, 2.5]):
+        w.add_scalar("mse/test", v, step)
+    w.add_images("flux", np.random.rand(3, 1, 4, 4), 7)
+    art = tmp_path / "note.txt"
+    art.write_text("hello")
+    w.log_artifact(str(art))
+    w.close()
+
+    # read-back: metric points in order with values and steps intact
+    pts = w.read_metric("mse/test")
+    assert [(v, s) for _, v, s in pts] == [(10.0, 0), (5.0, 1), (2.5, 2)]
+    run = w.run_dir
+    assert (run / "params" / "lr").read_text() == "0.001"
+    assert (run / "params" / "arch").read_text() == "lstm"
+    imgs = np.load(run / "artifacts" / "flux" / "7.npy")
+    assert imgs.shape == (3, 4, 4, 1)         # NCHW → NHWC per the ref shim
+    assert (run / "artifacts" / "note.txt").read_text() == "hello"
+    # run meta closed out as FINISHED with an end_time
+    meta = (run / "meta.yaml").read_text()
+    assert "status: 3" in meta and "end_time: null" not in meta
+    # experiment meta exists (what `mlflow ui` needs to list the run)
+    assert (tmp_path / "mlruns" / "0" / "meta.yaml").exists()
 
 
 def test_scatter3d_writes_selfcontained_html(tmp_path):
@@ -125,7 +185,12 @@ def test_field_scene_html(tmp_path):
     )
     text = (tmp_path / "sub" / "scene.html").read_text()
     assert path.endswith("scene.html")
-    assert text.count("mesh3d") == 2          # mirrors + receiver
+    # Parse the embedded figure JSON and count actual mesh3d traces
+    # (mirrors + receiver) — substring counting would break on any trace
+    # whose name merely contains "mesh3d".
+    m = re.search(r"Plotly\.newPlot\(\"plot\", (\[.*\]), \{", text)
+    data = json.loads(m.group(1))
+    assert sum(t.get("type") == "mesh3d" for t in data) == 2
     assert "tower" in text and "sun" in text
     assert "Plotly.newPlot" in text
 
