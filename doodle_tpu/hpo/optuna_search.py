@@ -1,10 +1,11 @@
-"""Optuna TPE driver (import-gated; parity: ``newenv/optuna_run.py``,
+"""TPE study driver (parity: ``newenv/optuna_run.py``,
 ``newenv/optuna_env.py``, ``newenv/bayesian_optimization.py``).
 
-Multivariate/grouped TPE + MedianPruner over a declarative space, SQLite
-storage with ``load_if_exists`` resume, NaN/explosion pruning, CSV export of
-the trial history. Raises ImportError with guidance if optuna is missing —
-use :mod:`doodle_tpu.hpo.random_search` then.
+Multivariate/grouped TPE + MedianPruner over a declarative space, storage
+with ``load_if_exists`` resume, NaN/explosion pruning, CSV export of the
+trial history. Uses optuna when installed; otherwise runs on the built-in
+engine (:mod:`doodle_tpu.hpo.tpe` — same algorithm, same API subset), so
+the TPE path is always executable in this image.
 """
 
 from __future__ import annotations
@@ -44,14 +45,19 @@ def optuna_minimize(
 
     ``space`` entries: {"low","high","log","int"} or {"choices": [...]}
     — the same schema as :func:`doodle_tpu.hpo.random_search.random_search`.
+
+    Backend: optuna when installed (the reference's engine), else the
+    built-in :mod:`doodle_tpu.hpo.tpe`. For the built-in backend,
+    ``storage`` is a journal file path (a ``sqlite:///x.db`` URL is mapped
+    to ``x.db.journal.jsonl`` so call sites stay portable).
     """
     try:
         import optuna
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "optuna is not installed; use doodle_tpu.hpo.random_search or "
-            "iterative_grid_search instead"
-        ) from e
+    except ImportError:
+        return _builtin_minimize(
+            objective, space, n_trials, study_name, storage, seed,
+            prune_above, constraint, csv_out,
+        )
 
     def suggest(trial: "optuna.Trial") -> dict:
         params = {}
@@ -99,4 +105,54 @@ def optuna_minimize(
 
     if csv_out:
         study.trials_dataframe().to_csv(csv_out, index=False)
+    return study.best_params, study.best_value, study
+
+
+def _builtin_minimize(
+    objective, space, n_trials, study_name, storage, seed,
+    prune_above, constraint, csv_out,
+):
+    """The same study semantics on :mod:`doodle_tpu.hpo.tpe`."""
+    from . import tpe
+
+    if storage is not None and str(storage).startswith("sqlite:///"):
+        storage = str(storage)[len("sqlite:///"):] + ".journal.jsonl"
+
+    def wrapped(trial: tpe.Trial) -> float:
+        params = {}
+        for name, spec in space.items():
+            if "choices" in spec:
+                params[name] = trial.suggest_categorical(
+                    name, list(spec["choices"])
+                )
+            elif spec.get("int", False):
+                params[name] = trial.suggest_int(
+                    name, int(spec["low"]), int(spec["high"]),
+                    log=spec.get("log", False),
+                )
+            else:
+                params[name] = trial.suggest_float(
+                    name, float(spec["low"]), float(spec["high"]),
+                    log=spec.get("log", False),
+                )
+        if constraint is not None and not constraint(params):
+            raise tpe.TrialPruned("constraint violated")
+        try:
+            val = float(objective(params))
+        except Exception as e:
+            raise tpe.TrialPruned(f"crashed: {e}") from e
+        if not math.isfinite(val) or val > prune_above:
+            raise tpe.TrialPruned(f"bad value {val}")
+        return val
+
+    study = tpe.create_study(
+        study_name=study_name,
+        storage=storage,
+        load_if_exists=storage is not None,
+        sampler=tpe.TPESampler(seed=seed),
+        pruner=tpe.MedianPruner(),
+    )
+    study.optimize(wrapped, n_trials=n_trials, space=space)
+    if csv_out:
+        study.trials_to_csv(csv_out)
     return study.best_params, study.best_value, study
