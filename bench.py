@@ -146,6 +146,82 @@ def bench_dispatch_rate(num_heliostats, resolution, batch_size,
     return batch_size / dt, dt
 
 
+def bench_train_rate(num_heliostats, resolution, batch_size, k, T,
+                     use_error_mask, encoder_dtype=None,
+                     reps_small=2, reps_large=8, splat_backend="auto"):
+    """Optimizer-steps/s of the fused single-chip train step (VERDICT r1 #7).
+
+    One train step = rollout(T env steps, policy fwd) + full backward +
+    adam update — the trainer's hot program (train/trainer.py). Params and
+    opt state thread through a ``lax.scan``, so every rep's input differs
+    (no loop-invariant hoisting possible) and the slope between two scan
+    lengths cancels the dispatch+fetch constant. Completion is forced by
+    fetching a full-touch checksum (global param norm + loss sum).
+    """
+    import optax
+
+    from doodle_tpu.env import env as env_lib
+    from doodle_tpu.models.policy import PolicyNet
+    from doodle_tpu.train.rollout import rollout
+
+    scene, cfg, state = _setup(
+        num_heliostats, resolution, batch_size, use_error_mask, splat_backend
+    )
+    policy = PolicyNet(
+        num_heliostats=num_heliostats, architecture="lstm", dropout=0.1,
+        encoder_dtype=encoder_dtype,
+    )
+    img = jnp.zeros((1, k, resolution, resolution))
+    aux = jnp.zeros((1, 3 + num_heliostats * 3))
+    params = policy.init(
+        jax.random.PRNGKey(3), img, aux, policy.init_carry(1)
+    )
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(5e-4))
+    opt_state = opt.init(params)
+    # Steady-state loss surface: alignment + bound + mse/dist blend all
+    # active (the trainer's post-warmup shape), so the full backward —
+    # including flux gradients — is timed, not a DCE'd subset.
+    weights = jnp.array([100.0, 1.0, 1.0, 1e4])
+
+    def train_step(carry, key_t):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            res = rollout(
+                policy, p, scene, cfg, state, key_t, k=k, T=T,
+                deterministic=False, remat=True, encode_once=True,
+            )
+            parts = res.losses
+            terms = jnp.stack([
+                parts["alignment_loss"], parts["bound"],
+                parts["mse"], parts["dist"],
+            ])
+            return jnp.sum(jnp.where(weights != 0, weights * terms, 0.0))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def run(params, opt_state, keys):
+        (params, _), losses = jax.lax.scan(
+            train_step, (params, opt_state), keys
+        )
+        checksum = sum(
+            jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(params)
+        )
+        return checksum + jnp.sum(losses)
+
+    t = {}
+    for reps in (reps_small, reps_large):
+        keys = jax.random.split(jax.random.PRNGKey(4), reps)
+        t[reps] = _timed_fetch(run, params, opt_state, keys, tries=4)
+    dt = max((t[reps_large] - t[reps_small]) / (reps_large - reps_small),
+             1e-9)
+    return 1.0 / dt, dt
+
+
 def main():
     dev = jax.devices()[0]
     # Rep counts sized so the compute delta (Δreps × step time) dwarfs the
@@ -155,6 +231,29 @@ def main():
     )
     big_dev, big_dt, big_raw = bench_device_rate(500, 256, 128, True)
     big_disp, disp_dt = bench_dispatch_rate(500, 256, 128, True)
+
+    # Train-step throughput (optimizer steps/s, fused scan) at the
+    # quickstart and config-4 trainer shapes, so BENCH_r*.json catches
+    # trainer-side regressions, not just env-kernel ones. Guarded by a
+    # soft wall-clock budget: on a cold XLA cache each program costs a
+    # multi-minute compile, and the primary metric must still print.
+    train_metrics = {}
+    t_start = time.monotonic()
+    try:
+        qs_rate, qs_dt = bench_train_rate(
+            50, 128, 25, k=4, T=4, use_error_mask=False
+        )
+        train_metrics["train_quickstart_steps_per_s"] = round(qs_rate, 2)
+        train_metrics["train_quickstart_step_ms"] = round(qs_dt * 1e3, 1)
+        if time.monotonic() - t_start < 1500:
+            c4_rate, c4_dt = bench_train_rate(
+                500, 256, 64, k=2, T=4, use_error_mask=True,
+                encoder_dtype="bfloat16",
+            )
+            train_metrics["train_config4_steps_per_s"] = round(c4_rate, 2)
+            train_metrics["train_config4_step_ms"] = round(c4_dt * 1e3, 1)
+    except Exception as e:  # pragma: no cover - keep the primary metric
+        train_metrics["train_bench_error"] = f"{type(e).__name__}: {e}"
 
     result = {
         "metric": "env_steps_per_s_per_chip_n500_res256",
@@ -169,6 +268,7 @@ def main():
             "dispatch_rtt_ms": round(disp_dt * 1e3, 1),
             "raw_totals_ms": {"n50": small_raw, "n500": big_raw},
             "device": str(dev),
+            **train_metrics,
         },
     }
     print(json.dumps(result))

@@ -38,3 +38,11 @@ def test_bench_dispatch_rate_runs():
         5, 32, 2, False, iters=2, splat_backend="xla"
     )
     assert rate > 0 and dt > 0
+
+
+def test_bench_train_rate_runs():
+    rate, dt = bench.bench_train_rate(
+        5, 32, 2, k=2, T=2, use_error_mask=False,
+        reps_small=1, reps_large=3, splat_backend="xla",
+    )
+    assert rate > 0 and dt > 0
