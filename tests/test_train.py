@@ -142,6 +142,31 @@ def test_rollout_deterministic_given_key(tiny):
     )
 
 
+def test_rollout_unroll_value_and_grad_identical(tiny):
+    """unroll is a pure scheduling knob: the compact scan (TPU shape) and
+    the fully unrolled program (CPU fast path) must agree bitwise in the
+    losses; the gradient may differ in the last ulp (the unrolled backward
+    reassociates reduction order) but must match to float32 precision."""
+    scene, cfg, state, policy, params = tiny
+    key = jax.random.PRNGKey(7)
+
+    def loss(p, unroll):
+        res = rollout(policy, p, scene, cfg, state, key, k=2, T=3,
+                      unroll=unroll)
+        return res.losses["mse"] + res.losses["alignment_loss"]
+
+    for unroll in (True, 2):
+        np.testing.assert_array_equal(
+            np.asarray(loss(params, 1)), np.asarray(loss(params, unroll))
+        )
+    g1 = jax.grad(loss)(params, 1)
+    gT = jax.grad(loss)(params, True)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(gT)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8
+        )
+
+
 # ------------------------------------------------------------- schedule
 def _cfg(**kw):
     base = dict(
