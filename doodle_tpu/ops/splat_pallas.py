@@ -30,10 +30,14 @@ into the per-ray scalars (see ``_splat_kernel``), worth ~25% on the
 VPU-bound forward (0.25 → 0.184 ms measured). The bf16 mode further
 uses a reduced-op table construction (``_splat_kernel_fast``: two FMAs
 + hardware ``exp2`` per element via a quadratic expansion of the
-Gaussian argument); the kernel is by then transcendental-bound
-(2·B·N·res ≈ 33.5M exps/render at the north-star config), so this is
-worth a further ~5-10% in context (splat ≈ 0.22 vs 0.25 ms inside the
-render). Shared-chip congestion moves absolute numbers by ±10-40% —
+Gaussian argument). Bound analysis (corrected 2026-08-19, see
+BASELINE.md roofline): hardware ``exp2`` costs only ~1.4 FMA slots on
+this VPU, so the kernel is *elementwise-VPU*-bound, not
+transcendental-bound — the fast forward measures 0.239 ms at the
+north-star config vs a serialized light-speed sum of 0.167 ms
+(VPU tables 0.071 + MXU 0.047 + HBM image write 0.049); the remaining
+levers are grid-step overhead and VPU↔MXU co-issue, not fewer exps.
+Shared-chip congestion moves absolute numbers by ±10-40% —
 A/B kernel variants within one sweep, never across sessions.
 
 Numerics match ``splat_factors`` + ``splat_image`` (including the

@@ -1,23 +1,38 @@
-"""Consolidated roofline / %-of-peak table for BASELINE.md (VERDICT r1 #5).
+"""Consolidated roofline / light-speed table for BASELINE.md.
 
 Instead of quoting vendor peak numbers, this measures EMPIRICAL ceilings on
 the actual chip and expresses each hot component against them — arithmetic
 a reviewer can re-run:
 
-  * **exp ceiling** — a fused elementwise exp-chain (8 dependent exps per
-    element, so the measurement is compute- not HBM-bound): the achievable
-    VPU transcendental rate.
+  * **VPU FMA rate** — a dependent per-element FMA chain: the achievable
+    elementwise f32 rate.
+  * **exp2 rate** — the same chain with ``exp2(y·c)`` as the body: on this
+    VPU the hardware exp2 costs about one FMA slot (measured 2026-08-19),
+    so "transcendental-bound" is NOT a meaningful category here — the
+    splat's table build is plain VPU-elementwise-bound.
+  * **table-element rate** — the fast-mode splat's exact per-element op
+    sequence (2 FMAs + exp2 + bf16 cast): the direct ceiling for the
+    kernel's VPU side.
   * **MXU ceiling** — a large bf16 matmul: the achievable matmul FLOP/s.
+  * **HBM bandwidth** — a big copy: the achievable byte rate.
   * **splat fwd / fwd+bwd** — per-call time of the fused Pallas splat at
-    config-4 shapes; exp count = B·N·res (fx) + B·N·res (fy) per pass.
+    config-4 shapes, against a serialized light-speed sum
+    (VPU table time + MXU contraction time + HBM image write) and the
+    perfect-overlap bound (their max).
   * **encoder fwd** — CNN encode of a config-4 frame batch in bf16; conv
     FLOPs vs the MXU ceiling.
-  * **EDT reset cost** — make_distance_maps at config 4 (the O(res³)
-    two-pass min-plus transform; reset-time only, never in the hot loop).
+  * **EDT reset cost** — make_distance_maps at config 4 (reset-time only).
   * **dispatch RTT** — single-call host↔device round trip (tunnel floor).
 
-All timings use the bench.py methodology: distinct inputs per rep via scan,
-device→host fetch as the completion barrier, slope between two rep counts.
+Methodology (hardened 2026-08-19): the first version of this script sized
+its slope rep counts so the compute delta was ~1-5 ms — smaller than the
+axon-tunnel RTT jitter — and under-measured the exp ceiling ~4.5×
+(174 vs ~780 Gexp/s), which made the splat look "75% of exp ceiling" when
+the true ceiling category is VPU-elementwise throughput. Every row now
+sizes (r1, r2) so the slope delta is ≳100 ms of device compute, and the
+elementwise rows feed the chain from an on-device PRNG (keys are the only
+host input) so no multi-GB input arrays are needed.
+
 Run on a quiet TPU from the repo root:  python scripts/roofline.py
 """
 
@@ -44,48 +59,108 @@ def slope_time(loop, make_input, r1, r2):
     return (t[r2] - t[r1]) / (r2 - r1)
 
 
-def exp_ceiling():
-    """Fused chain of 8 dependent exps per element → compute-bound rate."""
-    M = 8 * 1024 * 1024  # 32 MiB f32: HBM traffic amortized over 8 exps
+def elementwise_rate(body_elem, r1=16, r2=272, m=8 * 1024 * 1024, depth=32):
+    """Elements/s of a dependent chain of ``body_elem`` (PRNG-fed so every
+    rep differs; chain depth keeps it compute-bound; ~0.3 ms/rep ⇒ the
+    r2−r1 = 256-rep slope is ~80-180 ms of compute, far above RTT jitter).
+    """
 
     @jax.jit
-    def loop(xs):
-        def body(acc, x):
-            y = x
-            for _ in range(8):
-                y = jnp.exp(y * 1e-3)   # dependent: no reassociation
-            return acc + y.sum(), None
-        return jax.lax.scan(body, 0.0, xs)[0]
+    def loop(keys):
+        def body(acc, key):
+            y = jax.random.uniform(key, (m,), jnp.float32, -1.0, 1.0)
+            y = y + 0.3 * acc
+            for _ in range(depth):
+                y = body_elem(y)
+            return y, jnp.sum(y)
+
+        _, s = jax.lax.scan(body, jnp.zeros(m), keys)
+        return jnp.sum(s)
 
     def mk(reps):
-        return jax.random.normal(jax.random.PRNGKey(0), (reps, M), jnp.float32)
+        return jax.random.split(jax.random.PRNGKey(0), reps)
 
-    dt = slope_time(loop, mk, 4, 16)
-    return 8 * M / dt                       # exps/s
+    dt = slope_time(loop, mk, r1, r2)
+    return m * depth / dt
+
+
+def vpu_fma_rate():
+    return elementwise_rate(lambda y: y * 0.9999 + 1e-6)
+
+
+def exp2_rate():
+    return elementwise_rate(lambda y: jnp.exp2(y * 0.01))
+
+
+def table_elem_rate():
+    """The fast-mode splat kernel's per-element sequence
+    (``ops/splat_pallas.py::_splat_kernel_fast``): 2 FMAs + exp2 + bf16
+    cast (the cast keeps the chain's dtype round-tripping like the
+    kernel's MXU feed does)."""
+
+    def op(y):
+        arg = y * 0.3 - (y * y * 0.01 + 0.2)
+        return jnp.exp2(arg).astype(jnp.bfloat16).astype(jnp.float32)
+
+    return elementwise_rate(op)
 
 
 def mxu_ceiling():
-    """Large bf16 matmul rate (achievable MXU FLOP/s)."""
+    """Large bf16 matmul rate (achievable MXU FLOP/s). PRNG-perturbed
+    per rep (a broadcast add — XLA cannot factor it out of the dot) so
+    nothing hoists; (8, 128) reps ≈ 100 ms of slope compute at ~160 TF."""
     n = 4096
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.bfloat16)
 
     @jax.jit
-    def loop(xs):
-        def body(acc, x):
+    def loop(shifts):
+        def body(acc, s):
+            x = x0 + s
             y = jnp.dot(x, x, preferred_element_type=jnp.float32)
             return acc + y.sum(), None
-        return jax.lax.scan(body, 0.0, xs)[0]
+
+        return jax.lax.scan(body, 0.0, shifts)[0]
 
     def mk(reps):
-        return jax.random.normal(
-            jax.random.PRNGKey(1), (reps, n, n), jnp.bfloat16
-        )
+        return jnp.linspace(0.0, 0.01, reps, dtype=jnp.bfloat16)
 
-    dt = slope_time(loop, mk, 2, 8)
+    dt = slope_time(loop, mk, 8, 128)
     return 2 * n**3 / dt                    # FLOP/s
 
 
+def hbm_bandwidth():
+    """Achievable HBM byte rate: per rep, one 256 MiB read + write
+    (a scaled copy forced by a per-rep scalar); (4, 64) reps = 512 MiB × 60
+    of traffic ≈ 35+ ms of slope at ~800 GB/s... raised to (4, 164) for a
+    ≥100 ms slope."""
+    m = 64 * 1024 * 1024  # 256 MiB f32
+    x0 = jax.device_put(
+        np.random.default_rng(2).normal(size=m).astype(np.float32)
+    )
+
+    @jax.jit
+    def loop(args):
+        # x0 rides as an argument, NOT a closure: a closed-over 256 MiB
+        # array becomes a jaxpr constant and blows the axon remote-compile
+        # request limit (HTTP 413).
+        x, scales = args
+
+        def body(y, s):
+            # read x + y, write the next y: 3 × 256 MiB per step, nothing
+            # hoistable (every step's y differs), nothing stacked.
+            return x * s + 1e-7 * y, None
+
+        y, _ = jax.lax.scan(body, jnp.zeros(m), scales)
+        return y[:: m // 8].sum()
+
+    def mk(reps):
+        return (x0, jnp.linspace(1.0, 1.01, reps, dtype=jnp.float32))
+
+    dt = slope_time(loop, mk, 4, 164)
+    return 3 * m * 4 / dt                   # bytes/s (2 reads + 1 write)
+
+
 def splat_times(scene, cfg, state):
-    from doodle_tpu.ops.splat_pallas import splat_summed_pallas
     from doodle_tpu.core.field import render
 
     fcfg = cfg.field_config(cfg.error_scale_mrad)
@@ -112,8 +187,9 @@ def splat_times(scene, cfg, state):
     def mk(reps):
         return _make_actions(state, reps, jax.random.PRNGKey(2))
 
-    t_fwd = slope_time(fwd, mk, 20, 120)
-    t_fb = slope_time(fwdbwd, mk, 10, 60)
+    # ~0.2 / 0.6 ms per rep ⇒ slopes of ~90 / ~120 ms.
+    t_fwd = slope_time(fwd, mk, 50, 500)
+    t_fb = slope_time(fwdbwd, mk, 25, 225)
     return t_fwd, t_fb
 
 
@@ -139,7 +215,7 @@ def encoder_time():
             jax.random.PRNGKey(4), (reps, BT * KT, RES, RES), jnp.float32
         )
 
-    dt = slope_time(loop, mk, 5, 25)
+    dt = slope_time(loop, mk, 5, 25)        # ~25 ms/rep ⇒ 500 ms slope
     # conv FLOPs for the 3×(5×5 conv, stride 1, same) stack 1→32→64→128
     # + Dense 128→128, per frame at RES².
     per_frame = 2 * RES * RES * 25 * (1 * 32 + 32 * 64 + 64 * 128) \
@@ -163,7 +239,7 @@ def edt_time(scene, cfg, state):
         )
         return base + jitter
 
-    dt = slope_time(loop, mk, 2, 6)
+    dt = slope_time(loop, mk, 4, 20)        # ~7 ms/rep ⇒ ~110 ms slope
     return dt
 
 
@@ -172,18 +248,34 @@ def main():
     print(f"device: {dev}")
     scene, cfg, state = _setup(N, RES, B, True)
 
-    exp_rate = exp_ceiling()
-    print(f"exp ceiling: {exp_rate/1e9:.1f} Gexp/s")
+    fma = vpu_fma_rate()
+    print(f"VPU FMA rate: {fma/1e9:.0f} Gelem/s")
+    e2 = exp2_rate()
+    print(f"exp2(y*c) rate: {e2/1e9:.0f} Gelem/s "
+          f"({fma/e2:.2f} FMA-slot equivalents)")
+    tel = table_elem_rate()
+    print(f"fast-mode table-element rate (2 FMA + exp2 + bf16 cast): "
+          f"{tel/1e9:.0f} Gelem/s")
     mxu = mxu_ceiling()
     print(f"MXU bf16 ceiling: {mxu/1e12:.1f} TFLOP/s")
+    bw = hbm_bandwidth()
+    print(f"HBM copy bandwidth: {bw/1e9:.0f} GB/s")
 
     t_fwd, t_fb = splat_times(scene, cfg, state)
-    exps_fwd = 2 * B * N * RES             # fx + fy tables
-    print(f"splat fwd: {t_fwd*1e3:.3f} ms/render  "
-          f"{exps_fwd/t_fwd/1e9:.1f} Gexp/s "
-          f"({exps_fwd/t_fwd/exp_rate:.0%} of exp ceiling)")
-    # bwd recomputes both factor tables and their derivative products:
-    # ≈ 2× the fwd exp work (d/dx exp = exp reused), plus two more matmuls.
+    # Light-speed model of the fused fwd kernel (ops/splat_pallas.py):
+    # table elements (fx + fy over the padded chunk), the MXU contraction,
+    # and the [B, res, res] f32 image write.
+    Np = 512                                # padded heliostat depth at N=500
+    elems = 2 * B * Np * RES
+    t_vpu = elems / tel
+    t_mxu = 2 * B * Np * RES * RES / mxu
+    t_hbm = B * RES * RES * 4 / bw
+    serial = t_vpu + t_mxu + t_hbm
+    overlap = max(t_vpu, t_mxu, t_hbm)
+    print(f"splat fwd: {t_fwd*1e3:.3f} ms/render — light-speed sum "
+          f"{serial*1e3:.3f} ms (VPU {t_vpu*1e3:.3f} + MXU {t_mxu*1e3:.3f} "
+          f"+ HBM {t_hbm*1e3:.3f}) → {serial/t_fwd:.0%} of serialized "
+          f"light speed, {overlap/t_fwd:.0%} of the perfect-overlap bound")
     print(f"splat fwd+bwd: {t_fb*1e3:.3f} ms  "
           f"(fwd+bwd / fwd = {t_fb/t_fwd:.2f}×)")
 
