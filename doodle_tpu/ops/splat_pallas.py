@@ -37,8 +37,12 @@ transcendental-bound — the fast forward measures 0.239 ms at the
 north-star config vs a serialized light-speed sum of 0.167 ms
 (VPU tables 0.071 + MXU 0.047 + HBM image write 0.049); the remaining
 levers are grid-step overhead and VPU↔MXU co-issue, not fewer exps.
-Shared-chip congestion moves absolute numbers by ±10-40% —
-A/B kernel variants within one sweep, never across sessions.
+(Tried and rejected 2026-08-19: a manually software-pipelined body —
+static sub-chunks so the sub-chunk j+1 table build is independent of the
+sub-chunk j MXU dot — measured 0.93-1.01× of this kernel at sub ∈
+{64, 128, 256}; Mosaic's scheduler already extracts whatever co-issue the
+hardware gives.) Shared-chip congestion moves absolute numbers by
+±10-40% — A/B kernel variants within one sweep, never across sessions.
 
 Numerics match ``splat_factors`` + ``splat_image`` (including the
 reference's invalid-ray ⇒ all-ones-contribution quirk,
@@ -207,12 +211,17 @@ def _splat_kernel_fast(px_ref, qx_ref, py_ref, qy_ref, r_ref, gx_ref, gy_ref,
         rr * (gx * gx)[None, None, :] + qx[..., None])
     argy = py[..., None] * gy[None, None, :] - (
         rr * (gy * gy)[None, None, :] + qy[..., None])
-    fx = jnp.exp2(argx).astype(jnp.bfloat16)
-    fy = jnp.exp2(argy).astype(jnp.bfloat16)
+    # No explicit bf16 cast: DEFAULT-precision f32 inputs go through the
+    # same single-pass bf16 MXU multiply with the conversion fused into
+    # the MXU feed — bitwise-identical output, two fewer VPU ops per
+    # element (A/B'd 2026-08-19: 0.226 → 0.217 ms at config 4).
+    fx = jnp.exp2(argx)
+    fy = jnp.exp2(argy)
 
     tile = jax.lax.dot_general(
         fx, fy, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )                                               # [bs, res, res]
 
     @pl.when(chunk == 0)
@@ -354,15 +363,19 @@ def _splat_bwd_kernel(a_ref, b_ref, s_ref, c_ref, gx_ref, gy_ref,
     fx = jnp.exp(-ex)
     fy = jnp.exp(-ey)
 
-    cast = (lambda x: x.astype(jnp.bfloat16)) if use_bf16 else (lambda x: x)
-    prec = None if use_bf16 else jax.lax.Precision.HIGHEST
+    # bf16 mode needs no explicit casts: DEFAULT-precision f32 inputs run
+    # the same single-pass bf16 MXU multiply with the conversion fused
+    # into the MXU feed (bitwise-identical, fewer VPU ops — see the
+    # forward kernel).
+    prec = (jax.lax.Precision.DEFAULT if use_bf16
+            else jax.lax.Precision.HIGHEST)
     # dfx[b,n,i] = Σ_j fy[b,n,j] g[b,i,j] ; dfy[b,n,j] = Σ_i fx[b,n,i] g[b,i,j]
     dfx = jax.lax.dot_general(
-        cast(fy), cast(g), (((2,), (2,)), ((0,), (0,))),
+        fy, g, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec,
     )
     dfy = jax.lax.dot_general(
-        cast(fx), cast(g), (((2,), (1,)), ((0,), (0,))),
+        fx, g, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec,
     )
 
