@@ -36,6 +36,14 @@ class CNNEncoder(nn.Module):
     # convs — where ~99% of the policy FLOPs are — at the MXU's fast rate;
     # the head above operates on the f32-cast pooled features.
     dtype: str | None = None
+    # Spatial stride of the FIRST conv. The reference architecture is
+    # stride-1 5×5 convs at full input resolution (train_with_env.py:42-49)
+    # — that is the default and the parity surface. stride=2 is an opt-in
+    # production knob: it divides every conv's output area (and so ~all
+    # encoder FLOPs) by stride², ~4× at stride 2, at the cost of a coarser
+    # first feature map. Parameter shapes are stride-independent, so
+    # checkpoints remain loadable across stride settings.
+    stride: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
@@ -44,8 +52,9 @@ class CNNEncoder(nn.Module):
         dtype = jnp.dtype(self.dtype) if self.dtype else None
         if dtype is not None:
             x = x.astype(dtype)
-        for feat in self.features:
-            x = nn.Conv(feat, (5, 5), padding=2, dtype=dtype)(x)
+        for i, feat in enumerate(self.features):
+            s = self.stride if i == 0 else 1
+            x = nn.Conv(feat, (5, 5), strides=(s, s), padding=2, dtype=dtype)(x)
             x = nn.gelu(x)
             x = nn.Dropout(self.dropout, broadcast_dims=(1, 2))(
                 x, deterministic=deterministic

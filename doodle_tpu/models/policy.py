@@ -125,6 +125,9 @@ class PolicyNet(nn.Module):
     # Compute dtype for the frame encoder ("bfloat16" ≈ 2-4× conv speed on
     # the MXU; None = f32). Heads/normals stay f32.
     encoder_dtype: str | None = None
+    # First-conv stride of the CNN encoder (1 = the reference architecture;
+    # 2 = ~4× fewer encoder FLOPs, opt-in — see CNNEncoder.stride).
+    encoder_stride: int = 1
 
     # Submodule attribute names intentionally match the auto-generated names
     # of the original ``nn.compact`` formulation (``<ClassName>_<i>``) so the
@@ -135,7 +138,7 @@ class PolicyNet(nn.Module):
         if self.encoder == "cnn":
             self.CNNEncoder_0 = CNNEncoder(
                 out_dim=self.enc_dim, dropout=self.dropout,
-                dtype=self.encoder_dtype,
+                dtype=self.encoder_dtype, stride=self.encoder_stride,
             )
         elif self.encoder == "com":
             self.COMEncoder_0 = COMEncoder(

@@ -62,6 +62,12 @@ class TrainConfig:
     architecture: str = "lstm"
     encoder: str = "cnn"
     encoder_dtype: str | None = None   # "bfloat16" for fast MXU convs
+    # First-conv stride of the CNN encoder. 1 = the reference architecture
+    # (stride-1 5×5 convs at full res, train_with_env.py:42-49) — the
+    # parity default. 2 = ~4× fewer encoder FLOPs (the trainer's dominant
+    # cost at scale), opt-in production knob; checkpoints stay loadable
+    # across settings (conv param shapes are stride-independent).
+    encoder_stride: int = 1
     lstm_hid: int = 128
     transformer_layers: int = 2
     transformer_heads: int = 8
@@ -352,6 +358,7 @@ def train_and_eval(
         transformer_heads=cfg.transformer_heads,
         dropout=cfg.dropout,
         encoder_dtype=cfg.encoder_dtype,
+        encoder_stride=cfg.encoder_stride,
         action_space=cfg.action_space,
     )
     # Init on a batch-1 dummy: parameter shapes are batch-independent, and

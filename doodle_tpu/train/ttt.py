@@ -377,6 +377,7 @@ def ttt_train_and_eval(
         transformer_heads=cfg.transformer_heads,
         dropout=cfg.dropout,
         encoder_dtype=cfg.encoder_dtype,
+        encoder_stride=cfg.encoder_stride,
         normalize_output=False,     # rollout renormalizes (ref :162)
     )
     # Batch-1 init: parameter shapes are batch-independent, and a full-batch

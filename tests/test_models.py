@@ -61,6 +61,26 @@ def test_encoder_shapes(enc_cls):
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_cnn_encoder_stride_param_compatible():
+    """stride is a pure compute knob: parameter trees (and so checkpoints)
+    are identical across stride settings; stride=1 is bit-identical to the
+    pre-knob encoder; stride=2 still produces finite, input-dependent
+    features."""
+    x = jax.random.uniform(jax.random.PRNGKey(0), (3, 16, 16))
+    e1 = CNNEncoder(out_dim=32)
+    e2 = CNNEncoder(out_dim=32, stride=2)
+    p1 = e1.init(jax.random.PRNGKey(1), x)
+    p2 = e2.init(jax.random.PRNGKey(1), x)
+    assert jax.tree.structure(p1) == jax.tree.structure(p2)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        assert a.shape == b.shape
+    y2 = e2.apply(p1, x)                       # cross-load: p1 into stride-2
+    assert y2.shape == (3, 32)
+    assert np.isfinite(np.asarray(y2)).all()
+    y2b = e2.apply(p1, x.at[0, 8, 8].add(3.0))
+    assert not np.allclose(np.asarray(y2), np.asarray(y2b))
+
+
 def test_cnn_dropout_stochastic_vs_deterministic():
     enc = CNNEncoder(out_dim=16, dropout=0.5)
     x = jax.random.uniform(jax.random.PRNGKey(0), (2, 12, 12))
