@@ -223,6 +223,7 @@ def bench_train_rate(num_heliostats, resolution, batch_size, k, T,
 
 
 def main():
+    t_start = time.monotonic()          # whole-bench budget anchor
     dev = jax.devices()[0]
     # Rep counts sized so the compute delta (Δreps × step time) dwarfs the
     # ±10 ms tunnel-RTT jitter: ~0.04 ms/step at N=50 needs Δreps ≈ 2800.
@@ -238,13 +239,17 @@ def main():
     # soft wall-clock budget: on a cold XLA cache each program costs a
     # multi-minute compile, and the primary metric must still print.
     train_metrics = {}
-    t_start = time.monotonic()
     try:
-        qs_rate, qs_dt = bench_train_rate(
-            50, 128, 25, k=4, T=4, use_error_mask=False
-        )
-        train_metrics["train_quickstart_steps_per_s"] = round(qs_rate, 2)
-        train_metrics["train_quickstart_step_ms"] = round(qs_dt * 1e3, 1)
+        # Guard BOTH train benches against a cold compile cache: if the env
+        # benches above already burned the budget (each train program is a
+        # multi-minute cold compile via the remote axon helper), skip so
+        # the primary metric still prints within the driver's window.
+        if time.monotonic() - t_start < 900:
+            qs_rate, qs_dt = bench_train_rate(
+                50, 128, 25, k=4, T=4, use_error_mask=False
+            )
+            train_metrics["train_quickstart_steps_per_s"] = round(qs_rate, 2)
+            train_metrics["train_quickstart_step_ms"] = round(qs_dt * 1e3, 1)
         if time.monotonic() - t_start < 1500:
             c4_rate, c4_dt = bench_train_rate(
                 500, 256, 64, k=2, T=4, use_error_mask=True,
