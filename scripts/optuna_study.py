@@ -70,11 +70,53 @@ def suggest_params(trial: tpe.Trial) -> dict:
     }
 
 
+# Scheduler-family search: the reference's second study axis
+# (``newenv/optuna_env.py:33-152`` — cyclic-vs-plateau family plus the
+# family's own hyperparameters, conditionally suggested per trial).
+SCHED_SPACE = {
+    "lr": {"low": 3e-4, "high": 3e-2, "log": True},
+    "scheduler": {"choices": ["cyclic", "plateau", "exp"]},
+    "scheduler_mode": {"choices": ["triangular", "triangular2", "exp_range"]},
+    "scheduler_patience": {"low": 5, "high": 40, "int": True},
+    "scheduler_factor": {"low": 0.1, "high": 0.7},
+    "exp_decay": {"low": 0.95, "high": 0.9999, "log": True},
+}
+
+
+def suggest_sched_params(trial: tpe.Trial) -> dict:
+    p = {
+        "lr": trial.suggest_float("lr", 3e-4, 3e-2, log=True),
+        "scheduler": trial.suggest_categorical(
+            "scheduler", ["cyclic", "plateau", "exp"]
+        ),
+    }
+    if p["scheduler"] == "cyclic":
+        p["scheduler_mode"] = trial.suggest_categorical(
+            "scheduler_mode", ["triangular", "triangular2", "exp_range"]
+        )
+    elif p["scheduler"] == "plateau":
+        p["scheduler_patience"] = trial.suggest_int(
+            "scheduler_patience", 5, 40
+        )
+        p["scheduler_factor"] = trial.suggest_float(
+            "scheduler_factor", 0.1, 0.7
+        )
+    else:
+        p["exp_decay"] = trial.suggest_float(
+            "exp_decay", 0.95, 0.9999, log=True
+        )
+    return p
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_trials", type=int, default=8)
     ap.add_argument("--out", type=str, default="results/optuna_study")
     ap.add_argument("--trial_timeout", type=float, default=1800.0)
+    ap.add_argument("--space", choices=["policy", "scheduler"],
+                    default="policy",
+                    help="'policy' = lr/lstm_hid/dropout; 'scheduler' = the "
+                         "reference optuna_env.py scheduler-family search")
     args = ap.parse_args(argv)
 
     out = pathlib.Path(args.out)
@@ -87,10 +129,13 @@ def main(argv=None):
         pruner=tpe.MedianPruner(n_startup_trials=2),
     )
 
+    space = SPACE if args.space == "policy" else SCHED_SPACE
+    suggest = suggest_params if args.space == "policy" else suggest_sched_params
+
     t0 = time.time()
     for _ in range(args.n_trials):
-        trial = study.ask(SPACE)
-        params = suggest_params(trial)
+        trial = study.ask(space)
+        params = suggest(trial)
         print(f"trial {trial.number}: {params}", flush=True)
         res = run_trial_streaming(
             "-m doodle_tpu.cli.train",
