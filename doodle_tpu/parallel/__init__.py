@@ -18,12 +18,20 @@ from .audit import (
     modeled_efficiency,
     parse_collectives,
 )
-from .mesh import BATCH_AXIS, HELIO_AXIS, make_mesh, shard_batch, shard_env_state
+from .mesh import (
+    BATCH_AXIS,
+    HELIO_AXIS,
+    make_mesh,
+    make_multislice_mesh,
+    shard_batch,
+    shard_env_state,
+)
 from .render import render_helio_sharded
 from .train import make_sharded_train_step, make_sharded_ttt_step
 
 __all__ = [
     "make_mesh",
+    "make_multislice_mesh",
     "shard_batch",
     "shard_env_state",
     "BATCH_AXIS",
