@@ -81,6 +81,38 @@ def apply_platform(args: argparse.Namespace) -> None:
         jax.config.update("jax_platforms", args.platform)
 
 
+def add_multihost_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument(
+        "--multihost", type=lambda s: s.lower() in ("1", "true", "yes"),
+        default=False,
+        help="bring up jax.distributed before training (multi-host pod). "
+        "Autodetects Cloud TPU / SLURM / OpenMPI / JAX_COORDINATOR_ADDRESS; "
+        "or pass --coordinator_address/--num_processes/--process_id "
+        "explicitly. Every host runs the same command; writers and console "
+        "output are gated to process 0 by the trainer.",
+    )
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+
+
+def apply_multihost(args: argparse.Namespace) -> bool:
+    """Initialize jax.distributed when requested. Must run right after
+    ``apply_platform`` (before the first JAX computation)."""
+    if not (
+        getattr(args, "multihost", False)
+        or getattr(args, "coordinator_address", None)
+    ):
+        return False
+    from ..parallel.launch import initialize_distributed
+
+    return initialize_distributed(
+        coordinator_address=getattr(args, "coordinator_address", None),
+        num_processes=getattr(args, "num_processes", None),
+        process_id=getattr(args, "process_id", None),
+    )
+
+
 def make_writer(args: argparse.Namespace):
     """--logdir → JsonlWriter (+TensorBoard with --tensorboard)."""
     if not getattr(args, "logdir", None):

@@ -11,6 +11,8 @@ import argparse
 from ..train import TrainConfig, train_and_eval
 from ._common import (
     add_dataclass_args,
+    add_multihost_args,
+    apply_multihost,
     add_platform_arg,
     apply_platform,
     config_from_args,
@@ -28,12 +30,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dump 3-D scatter diagnostics here every 50 steps")
     p.add_argument("--metrics_out", type=str, default=None)
     add_platform_arg(p)
+    add_multihost_args(p)
     return p
 
 
 def main(argv=None) -> float:
     args = build_parser().parse_args(argv)
     apply_platform(args)
+    apply_multihost(args)
     cfg = config_from_args(args, TrainConfig)
     writer = make_writer(args)
 

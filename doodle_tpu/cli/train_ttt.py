@@ -12,6 +12,8 @@ import argparse
 from ..train import TTTConfig, ttt_train_and_eval
 from ._common import (
     add_dataclass_args,
+    add_multihost_args,
+    apply_multihost,
     add_platform_arg,
     apply_platform,
     config_from_args,
@@ -27,12 +29,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--metrics_out", type=str, default=None)
     add_platform_arg(p)
+    add_multihost_args(p)
     return p
 
 
 def main(argv=None) -> float:
     args = build_parser().parse_args(argv)
     apply_platform(args)
+    apply_multihost(args)
     cfg = config_from_args(args, TTTConfig)
     writer = make_writer(args)
     best = ttt_train_and_eval(cfg, writer=writer)

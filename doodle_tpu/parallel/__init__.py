@@ -12,6 +12,13 @@ Everything here works identically on a real pod slice and on a virtual
 ``xla_force_host_platform_device_count`` CPU mesh (how CI exercises it).
 """
 
+from .launch import (
+    broadcast_from_primary,
+    initialize_distributed,
+    is_multiprocess,
+    is_primary_host,
+    sync_hosts,
+)
 from .audit import (
     annotate_loop_placement,
     collective_summary,
@@ -43,4 +50,9 @@ __all__ = [
     "annotate_loop_placement",
     "collective_summary",
     "modeled_efficiency",
+    "initialize_distributed",
+    "is_multiprocess",
+    "is_primary_host",
+    "sync_hosts",
+    "broadcast_from_primary",
 ]

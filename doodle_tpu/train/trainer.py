@@ -282,6 +282,25 @@ def _loss_weights(cfg: TrainConfig, global_i: int, last_bound: float) -> np.ndar
     )
 
 
+class _ScalarOnlyWriter:
+    """Multi-process writer shim: forwards scalars, hides ``add_images``.
+
+    The image fetch slices a batch-sharded array; across processes that
+    slice is a collective every host would have to join, so under
+    multi-process runs the trainer logs scalars (replicated, locally
+    addressable) and skips images."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def add_scalar(self, *a, **k):
+        return self._inner.add_scalar(*a, **k)
+
+    def close(self):
+        if hasattr(self._inner, "close"):
+            self._inner.close()
+
+
 def train_and_eval(
     cfg: TrainConfig,
     scene: Scene | None = None,
@@ -295,7 +314,26 @@ def train_and_eval(
     ``writer``: optional MLflow/TensorBoard-style object with
     ``add_scalar(tag, value, step)`` / ``add_images(...)``.
     ``monitor_cb(step, monitor)``: optional hook for 3-D diagnostics dumps.
+
+    Multi-host pods (``parallel.launch.initialize_distributed`` already
+    called): every process runs the same loop — computations (train/eval
+    steps, orbax checkpoint saves, which are collective) execute on all
+    hosts; console lines, writer scalars, and ``progress_cb`` fire on
+    process 0 only. Monitor dumps and image logging are disabled across
+    processes: they slice batch-sharded arrays, and slicing a
+    cross-process-sharded array is itself a collective that a
+    primary-only guard would deadlock.
     """
+    _primary = jax.process_index() == 0
+    _log = print if _primary else (lambda *a, **k: None)
+    if jax.process_count() > 1:
+        monitor_cb = None
+        if not _primary:
+            writer = None
+            progress_cb = None
+        elif writer is not None:
+            writer = _ScalarOnlyWriter(writer)
+
     key = jax.random.PRNGKey(cfg.seed)
     k_geo, k_env, k_policy, k_run = jax.random.split(key, 4)
 
@@ -581,7 +619,7 @@ def train_and_eval(
             sched_count = max(
                 0, cfg.num_batches * start_step - cfg.warmup_steps - pretrain
             )
-            print(f"resumed from {latest} at step {start_step}")
+            _log(f"resumed from {latest} at step {start_step}")
 
     def process(item) -> bool:
         """Consume one completed step's outputs (fetch scalars, scheduler,
@@ -607,7 +645,7 @@ def train_and_eval(
         last_bound = bound_f
 
         if not math.isfinite(loss_f):
-            print(f"NaN/Inf loss at step {step_i} (lr {lr:.2e}); bailing out")
+            _log(f"NaN/Inf loss at step {step_i} (lr {lr:.2e}); bailing out")
             return True
 
         # scheduler starts after pretrain+warmup (ref :385-394); mutates the
@@ -640,8 +678,8 @@ def train_and_eval(
             # (ref "[..] L{chosen} chosen", ..._multi_obj.py:200): index
             # into (alignment, bound, mse, dist).
             if chosen_f >= 0:
-                print(f"L{int(chosen_f)} chosen", end=" | ")
-            print(
+                _log(f"L{int(chosen_f)} chosen", end=" | ")
+            _log(
                 f"Step {step_i} | loss {loss_f:.4f} | "
                 f"mse_train {mse_f:.2e} | "
                 f"alignment_train {align_f:.2e} | "
@@ -658,7 +696,7 @@ def train_and_eval(
             )
             last_mse = test_mse
             best_mse = test_mse if best_mse is None else min(best_mse, test_mse)
-            print(
+            _log(
                 f"[{step_i:4d}] test_mse {test_mse:.2e} "
                 f"test_bound {test_bound:.2e} "
                 f"test_alignment {test_align:.2e}"

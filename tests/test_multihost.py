@@ -1,0 +1,159 @@
+"""Real multi-process (multi-host) integration: two OS processes, two CPU
+devices each, gloo collectives — the same coordination-service + cross-host
+collective path a pod deployment exercises, not a single-process virtual
+mesh. The pair runs ``make_sharded_train_step`` on the global 4-device mesh
+(the gradient ``pmean`` physically crosses the process boundary) and must
+agree with each other and with the identical single-process program.
+
+Plus unit tests for the ``parallel.launch`` single-process semantics.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def worker_outputs():
+    port = _free_port()
+    env = dict(os.environ)
+    # The workers configure their own platform/device count; the parent
+    # test env's 8-device force and platform var must not leak in.
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    worker = os.path.join(REPO, "tests", "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=REPO, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    return {o["pid"]: o for o in outs}
+
+
+def test_two_process_cluster_agrees(worker_outputs):
+    a, b = worker_outputs[0], worker_outputs[1]
+    assert a["primary"] and not b["primary"]
+    # The replicated outputs of the cross-process SPMD program must be
+    # identical on both hosts (they fetched the same global arrays).
+    assert a["losses"] == b["losses"]
+    assert a["param_sum"] == b["param_sum"]
+    assert all(np.isfinite(a["losses"]))
+    # broadcast_from_primary delivered process 0's value to process 1.
+    assert a["broadcast"] == 7.0 and b["broadcast"] == 7.0
+
+
+def test_two_process_matches_single_process(worker_outputs):
+    """The 2-process run must reproduce the same program on a
+    single-process 4-device mesh (same fold_in(axis_index) PRNG streams;
+    only the all-reduce order differs — gloo vs in-process)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from doodle_tpu.core.scene import make_scene
+    from doodle_tpu.env import env as env_lib
+    from doodle_tpu.models.policy import PolicyNet
+    from doodle_tpu.parallel import (
+        make_mesh,
+        make_sharded_train_step,
+        shard_env_state,
+    )
+
+    pos = np.stack(
+        [np.linspace(-20, 20, 8), np.full(8, 80.0), np.zeros(8)], axis=1
+    )
+    scene = make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+    cfg = env_lib.EnvConfig(
+        resolution=16, batch_size=8, sigma_scale=0.01, error_scale_mrad=30.0,
+        new_errors_every_reset=False, field_init_noise=0.0,
+    )
+    state = env_lib.init_state(scene, cfg, jax.random.PRNGKey(0))
+    policy = PolicyNet(num_heliostats=8, enc_dim=16, lstm_hid=16,
+                       architecture="lstm", dropout=0.0)
+    img = jnp.zeros((8, 2, 16, 16))
+    aux = jnp.zeros((8, 3 + 24))
+    params = policy.init(jax.random.PRNGKey(1), img, aux,
+                         policy.init_carry(8))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    mesh = make_mesh(4)
+    step = make_sharded_train_step(
+        policy, scene, cfg, opt, mesh, k=2, T=2, deterministic=True,
+        impl="shard_map",
+    )
+    s_state = shard_env_state(mesh, state)
+    weights = jnp.array([1.0, 0.0, 1.0, 1.0])
+    key = jax.random.PRNGKey(5)
+    losses = []
+    for _ in range(2):
+        params, opt_state, s_state, loss, _ = step(
+            params, opt_state, s_state, key, weights
+        )
+        losses.append(float(loss))
+
+    np.testing.assert_allclose(
+        losses, worker_outputs[0]["losses"], rtol=1e-5
+    )
+
+
+def test_launch_single_process_semantics():
+    """On a plain single-process run the launch helpers are inert: no
+    cluster env -> no-op initialize, process 0 is primary, barrier and
+    broadcast degenerate to identity."""
+    from doodle_tpu.parallel import (
+        broadcast_from_primary,
+        initialize_distributed,
+        is_multiprocess,
+        is_primary_host,
+        sync_hosts,
+    )
+    from doodle_tpu.parallel.launch import _cluster_env_detected
+
+    # The pytest process has no cluster env vars set.
+    assert not _cluster_env_detected()
+    assert initialize_distributed() is False
+    assert not is_multiprocess()
+    assert is_primary_host()
+    sync_hosts("single_process_noop")
+    tree = {"a": np.float32(3.0), "b": np.arange(4)}
+    out = broadcast_from_primary(tree)
+    np.testing.assert_array_equal(out["b"], tree["b"])
+
+
+def test_cluster_env_detection(monkeypatch):
+    from doodle_tpu.parallel.launch import _cluster_env_detected
+
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    assert not _cluster_env_detected()
+    monkeypatch.setenv("SLURM_NTASKS", "8")
+    assert _cluster_env_detected()
+    monkeypatch.delenv("SLURM_NTASKS")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    assert _cluster_env_detected()
