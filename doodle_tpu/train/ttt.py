@@ -289,7 +289,12 @@ def ttt_train_and_eval(
     """The TTT training loop (ref ``:363-781``): sun-curriculum train envs,
     extrapolation + interpolation test envs, truncated-advantage objective,
     and test-time compute during evaluation. Returns best (or last)
-    extrapolation-test MSE."""
+    extrapolation-test MSE.
+
+    Multi-host pods: same contract as ``train_and_eval`` — computations run
+    on every process, console/writer/dump IO on process 0 only (TTT state
+    is replicated per host, so unlike the standard trainer nothing here
+    slices cross-process-sharded arrays and dumps stay enabled)."""
     import math
     import time
 
@@ -298,6 +303,18 @@ def ttt_train_and_eval(
     from ..optim import adamp
     from .trainer import PlateauTracker, cyclic_lr, make_ttt_geometry
     from ..optim import PiecewiseConstantLR
+
+    # Multi-host gating (parallel.launch): IO on process 0 only; the
+    # train/eval computations and collective checkpoint saves run
+    # everywhere. TTT state is host-replicated, so dump_dir (which
+    # fetches whole arrays, no cross-process slicing) just gates off
+    # non-primary hosts.
+    _primary = jax.process_index() == 0
+    _log = print if _primary else (lambda *a, **k: None)
+    if jax.process_count() > 1 and not _primary:
+        writer = None
+        progress_cb = None
+        cfg = dataclasses.replace(cfg, dump_dir=None)
 
     key = jax.random.PRNGKey(cfg.seed)
     k_geo, k_env, k_policy, k_run = jax.random.split(key, 4)
@@ -537,7 +554,7 @@ def ttt_train_and_eval(
             sched_count = max(
                 0, cfg.num_batches * start_step - cfg.warmup_steps - pretrain
             )
-            print(f"resumed from {latest} at step {start_step}")
+            _log(f"resumed from {latest} at step {start_step}")
 
     def process(item) -> bool:
         """Consume one completed step's outputs; True on NaN abort. Under
@@ -555,7 +572,7 @@ def ttt_train_and_eval(
         prev_loss = loss_f
 
         if not math.isfinite(loss_f):
-            print(f"NaN loss at step {step_i} (lr {lr:.2e}); bailing out")
+            _log(f"NaN loss at step {step_i} (lr {lr:.2e}); bailing out")
             return True
 
         if cfg.num_batches * step_i > cfg.warmup_steps + pretrain:
@@ -581,7 +598,7 @@ def ttt_train_and_eval(
                 writer.add_scalar("perf/steps_per_s", timer.steps_per_s, step_i)
 
         if step_i % cfg.log_every == 0 or step_i == cfg.steps - 1:
-            print(
+            _log(
                 f"Step {step_i} | loss {loss_f:.4f} | obj {objective:.4f} | "
                 f"mse {mse_f:.2e} | "
                 f"align {align_f:.2e} | lr {lr:.6f} | "
@@ -598,7 +615,7 @@ def ttt_train_and_eval(
             test_mse = float(ex_losses["mse"])
             last_mse = test_mse
             best_mse = test_mse if best_mse is None else min(best_mse, test_mse)
-            print(
+            _log(
                 f"[{step_i:4d}] extrap_mse {test_mse:.2e} "
                 f"interp_mse {float(in_losses['mse']):.2e}"
             )
