@@ -55,12 +55,14 @@ class CNNEncoder(nn.Module):
         for i, feat in enumerate(self.features):
             s = self.stride if i == 0 else 1
             x = nn.Conv(feat, (5, 5), strides=(s, s), padding=2, dtype=dtype)(x)
-            x = nn.gelu(x)
+            # approximate=False = erf GELU, torch's F.gelu default — exact
+            # parity with the reference activations.
+            x = nn.gelu(x, approximate=False)
             x = nn.Dropout(self.dropout, broadcast_dims=(1, 2))(
                 x, deterministic=deterministic
             )
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))   # AvgPool2d((1,1))
-        return nn.gelu(nn.Dense(self.out_dim)(x))
+        return nn.gelu(nn.Dense(self.out_dim)(x), approximate=False)
 
 
 class COMEncoder(nn.Module):
@@ -74,4 +76,4 @@ class COMEncoder(nn.Module):
         coords = center_of_mass_2d(x)
         proj = nn.Dense(self.out_dim)(coords)
         proj = nn.Dropout(self.dropout)(proj, deterministic=deterministic)
-        return nn.gelu(proj)
+        return nn.gelu(proj, approximate=False)   # erf GELU = torch default

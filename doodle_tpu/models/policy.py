@@ -81,14 +81,15 @@ class TransformerEncoderLayer(nn.Module):
             dropout_rate=self.dropout,
             deterministic=deterministic,
         )(x, x)
-        x = nn.LayerNorm()(
+        # epsilon=1e-5 = torch nn.LayerNorm default (flax defaults to 1e-6).
+        x = nn.LayerNorm(epsilon=1e-5)(
             x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         )
         ff = nn.Dense(self.dim_feedforward)(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         ff = nn.Dense(self.d_model)(ff)
-        x = nn.LayerNorm()(
+        x = nn.LayerNorm(epsilon=1e-5)(
             x + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         )
         return x
@@ -162,7 +163,7 @@ class PolicyNet(nn.Module):
         elif arch != "mlp":
             raise ValueError(f"unknown architecture {self.architecture!r}")
 
-        self.LayerNorm_0 = nn.LayerNorm()
+        self.LayerNorm_0 = nn.LayerNorm(epsilon=1e-5)  # torch default eps
         self.Dense_0 = nn.Dense(self.head_hidden)
         self.Dropout_0 = nn.Dropout(self.dropout)
         out_units = self.num_heliostats * (
@@ -219,7 +220,7 @@ class PolicyNet(nn.Module):
         h = self.LayerNorm_0(h)
         h = self.Dense_0(h)
         h = self.Dropout_0(h, deterministic=deterministic)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)   # erf GELU = torch default
         out = self.Dense_1(h)
         if self.action_space == "angles":
             angles = jnp.tanh(out) * self.angle_scale

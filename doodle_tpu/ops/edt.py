@@ -6,15 +6,23 @@ flux loss) by shipping every rendered image to the host and running scipy's
 device→host→device round-trip in its pipeline.
 
 Here the transform runs on-device and under ``jit``. The exact squared EDT of
-a binary mask decomposes into two 1-D min-plus passes (columns then rows):
+a binary mask decomposes into two 1-D passes (columns then rows):
 
     g[i, j]  = min_k  (i − k)²  over k with mask[k, j]
     D²[i, j] = min_l  g[i, l] + (j − l)²
 
-Each pass is a min-plus contraction against the static ``(i−k)²`` kernel —
-regular, static-shaped reductions the TPU vectorizes well. O(res³) work per
-image, but this runs once per sun-position set (like the reference's cached
-maps, ``test_environment.py:359-370``), not in the step hot path.
+Pass 1's input is binary, so the per-column nearest-True distance is two
+directional cumulative-max scans (O(H·W) total, no temporaries). Pass 2 is a
+general min-plus against the static ``(j−l)²`` parabola kernel; the classic
+O(W) Felzenszwalb lower-envelope scan is a data-dependent parabola *stack* —
+hostile to XLA's static control flow — so it stays a dense contraction, but
+**blocked**: a ``lax.scan`` over output-column blocks keeps the peak
+temporary at ``[H, block, W]`` ≈ 16 MB regardless of resolution (the
+unblocked ``[H, W, W]`` form was 67 MB at 256² and 537 MB at 512² — an HBM
+wall for high-res receivers). FLOPs stay O(res³) per image, which at 512² is
+~270 MFLOP — trivial for a once-per-sun-set computation (cached like the
+reference's maps, ``test_environment.py:359-370``), far below the cost of one
+render.
 
 Results match ``scipy.ndimage.distance_transform_edt`` exactly: both compute
 integer squared distances to the nearest masked pixel, then a square root.
@@ -29,20 +37,52 @@ import jax.numpy as jnp
 
 __all__ = ["edt", "distance_maps"]
 
-# Plain Python float: a module-level jnp constant would initialize the
+# Plain Python floats: a module-level jnp constant would initialize the
 # default JAX backend at import time, defeating any later
 # jax.config.update("jax_platforms", ...) (e.g. cli --platform cpu).
 _BIG = 1e12
+# Peak pass-2 temporary ≈ 4 bytes · _BLOCK_BUDGET (block = budget / (H·W)).
+_BLOCK_BUDGET = 4_194_304
 
 
-def _sq_offsets(n: int) -> jax.Array:
-    idx = jnp.arange(n, dtype=jnp.float32)
-    return (idx[:, None] - idx[None, :]) ** 2  # [n, n]
+def _column_sq_dist(mask: jax.Array) -> jax.Array:
+    """g[i, j] = squared distance from (i, j) to the nearest True in column j.
+
+    Two directional cumulative-max scans (O(H·W), no temporaries):
+      * nearest True at-or-above row i: ``cummax`` of masked row indices;
+      * nearest True at-or-below: reverse ``cummax`` of *negated* indices
+        (maximizing −k picks the smallest k ≥ i).
+    Columns with no True pixel saturate at ~sqrt(_BIG).
+    """
+    h = mask.shape[0]
+    idx = jnp.arange(h, dtype=jnp.float32)[:, None]
+    up = jax.lax.cummax(jnp.where(mask, idx, -_BIG), axis=0)
+    d_up = idx - up                                   # i − k*,  k* ≤ i
+    dn = jax.lax.cummax(jnp.where(mask, -idx, -_BIG)[::-1], axis=0)[::-1]
+    d_dn = -dn - idx                                  # k* − i,  k* ≥ i
+    d = jnp.minimum(jnp.minimum(d_up, d_dn), jnp.sqrt(_BIG))
+    return d * d
 
 
-def _minplus(kernel_sq: jax.Array, costs: jax.Array) -> jax.Array:
-    """out[i, j] = min_k kernel_sq[i, k] + costs[k, j]."""
-    return jnp.min(kernel_sq[:, :, None] + costs[None, :, :], axis=1)
+def _minplus_blocked(kernel_sq: jax.Array, costs: jax.Array) -> jax.Array:
+    """out[i, j] = min_k kernel_sq[j, k] + costs[i, k], blocked over j.
+
+    ``lax.scan`` over blocks of output columns bounds the broadcast
+    temporary at ``[H, block, W]`` floats (≈ _BLOCK_BUDGET · 4 bytes).
+    """
+    h, w = costs.shape
+    block = max(1, min(w, _BLOCK_BUDGET // (h * w)))
+    nb = -(-w // block)
+    pad = nb * block - w
+    ksq = jnp.pad(kernel_sq, ((0, pad), (0, 0)), constant_values=0.0)
+
+    def body(_, ksq_blk):                       # ksq_blk: [block, w]
+        out_blk = jnp.min(ksq_blk[None] + costs[:, None, :], axis=2)
+        return None, out_blk                    # [h, block]
+
+    _, blocks = jax.lax.scan(body, None, ksq.reshape(nb, block, w))
+    # blocks: [nb, h, block] → [h, nb·block], then drop the padded columns
+    return jnp.moveaxis(blocks, 0, 1).reshape(h, nb * block)[:, :w]
 
 
 def edt(mask: jax.Array) -> jax.Array:
@@ -57,12 +97,10 @@ def edt(mask: jax.Array) -> jax.Array:
     """
     mask = mask.astype(bool)
     h, w = mask.shape
-    # Pass 1: per-column squared distance to the nearest mask pixel in
-    # that column.
-    col_cost = jnp.where(mask, 0.0, _BIG).astype(jnp.float32)       # [h, w]
-    g = _minplus(_sq_offsets(h), col_cost)                          # [h, w]
-    # Pass 2: per-row min-plus against the column results.
-    d_sq = _minplus(_sq_offsets(w), g.T).T                          # [h, w]
+    g = _column_sq_dist(mask)                                # [h, w] O(h·w)
+    idx = jnp.arange(w, dtype=jnp.float32)
+    ksq = (idx[:, None] - idx[None, :]) ** 2                 # [w, w] (j, l)
+    d_sq = _minplus_blocked(ksq, g)                          # [h, w]
     return jnp.sqrt(d_sq)
 
 
@@ -82,6 +120,6 @@ def distance_maps(imgs: jax.Array, threshold: float = 0.5) -> jax.Array:
     """
     maxes = jnp.max(imgs, axis=(-2, -1), keepdims=True)
     masks = imgs > threshold * maxes
-    # lax.map (not vmap) keeps peak memory at one [H, W, W] reduction
+    # lax.map (not vmap) keeps peak memory at one image's pass-2 block
     # temporary at a time; this path is reset-time only.
     return jax.lax.map(edt, masks)

@@ -50,6 +50,7 @@ class TTTRolloutResult(NamedTuple):
     imgs_over_t: jax.Array | None  # [T, B, res, res] when collected
     fine_vec: jax.Array | None     # final fine_error_vec (TTC state)
     env_state: env_lib.EnvState
+    actions_over_t: jax.Array | None = None  # [T, B, N, 3] when collected
 
 
 def ttt_rollout(
@@ -73,7 +74,9 @@ def ttt_rollout(
     test_time: bool = False,
     deterministic: bool = True,
     collect_imgs: bool = False,
+    collect_actions: bool = False,
     remat: bool = True,
+    fine_init: jax.Array | None = None,
 ) -> TTTRolloutResult:
     """Run the TTT rollout. The policy should be built with
     ``normalize_output=False`` (the reference TTT net defers normalization
@@ -109,18 +112,22 @@ def ttt_rollout(
 
     mse_over_t = []
     imgs_over_t = []
+    actions_over_t = []
     losses = None
     monitor = None
     step_keys = jax.random.split(k_drop, T)
 
     def policy_step(params, hist_in, aux_in, pcarry, key_t):
         rngs = None if deterministic else {"dropout": key_t}
+        # Raw (unnormalized) output: the TTT policy does not normalize in-net
+        # (ref :162) and the rollout adds the RAW delta to prev_normals before
+        # renormalizing (ref :253) — the delta's magnitude is the step size.
         out, new_carry = policy.apply(
             params, hist_in, aux_in, pcarry,
             deterministic=deterministic,
             **({"rngs": rngs} if rngs else {}),
         )
-        return normalize(out), new_carry
+        return out, new_carry
 
     if remat:
         policy_step = jax.checkpoint(policy_step)
@@ -140,9 +147,9 @@ def ttt_rollout(
             hist_in, aux_in, pcarry, step_keys[t],
         )
         if prev_normals is None:
-            base_normals = delta
+            base_normals = normalize(delta)                 # ref :246
         else:
-            base_normals = normalize(delta + prev_normals)
+            base_normals = normalize(delta + prev_normals)  # ref :253
         if test_time:
             base_normals = jax.lax.stop_gradient(base_normals)
         prev_normals = base_normals
@@ -151,9 +158,15 @@ def ttt_rollout(
         # ---- test-time compute: inner optimization of fine_vec (ref :284-315)
         if enable_fine and t >= start_t:
             if fine_vec is None:
-                fine_vec = jax.random.uniform(
-                    k_fine, base_normals.shape, base_normals.dtype,
-                    -fine_init_eps, fine_init_eps,
+                # fine_init lets tests inject the exact initial vector the
+                # reference drew (cross-implementation golden parity).
+                fine_vec = (
+                    jnp.asarray(fine_init, jnp.float32)
+                    if fine_init is not None
+                    else jax.random.uniform(
+                        k_fine, base_normals.shape, base_normals.dtype,
+                        -fine_init_eps, fine_init_eps,
+                    )
                 )
                 fine_opt_state = fine_opt.init(fine_vec)
 
@@ -182,6 +195,8 @@ def ttt_rollout(
 
         obs_t, loss_t, monitor = env_step(scene, cfg, state, normals_to_apply)
         losses = loss_t
+        if collect_actions:
+            actions_over_t.append(jax.lax.stop_gradient(normals_to_apply))
 
         # ---- truncated-BPTT accumulation (ref :320-343)
         if trunc is not None:
@@ -217,6 +232,9 @@ def ttt_rollout(
         imgs_over_t=jnp.stack(imgs_over_t) if collect_imgs else None,
         fine_vec=fine_vec,
         env_state=state,
+        actions_over_t=(
+            jnp.stack(actions_over_t) if collect_actions else None
+        ),
     )
 
 

@@ -123,8 +123,10 @@ def test_sharded_train_step_matches_unsharded(scene8):
         params, opt_state, state, key, weights
     )
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    # atol 2e-5: post-adam params are O(1e-2); shard_map reduction order
+    # shifts a handful of elements by ~1e-5 (observed max 1.1e-5).
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
     # The sharded step really ran on 8 devices
     assert len(loss1.devices()) == 8 or loss1.sharding.is_fully_replicated
 
