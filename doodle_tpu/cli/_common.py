@@ -98,24 +98,69 @@ def add_multihost_args(parser: argparse.ArgumentParser) -> None:
 
 def apply_multihost(args: argparse.Namespace) -> bool:
     """Initialize jax.distributed when requested. Must run right after
-    ``apply_platform`` (before the first JAX computation)."""
+    ``apply_platform`` (before the first JAX computation).
+
+    Raises when ``--multihost true`` was explicitly requested but no
+    cluster could be found or brought up — the user asked for a pod and
+    must not silently get a single-process run.
+    """
     if not (
         getattr(args, "multihost", False)
         or getattr(args, "coordinator_address", None)
     ):
         return False
+    import jax
+
     from ..parallel.launch import initialize_distributed
 
-    return initialize_distributed(
+    active = initialize_distributed(
         coordinator_address=getattr(args, "coordinator_address", None),
         num_processes=getattr(args, "num_processes", None),
         process_id=getattr(args, "process_id", None),
     )
+    if getattr(args, "multihost", False) and not jax.distributed.is_initialized():
+        raise RuntimeError(
+            "--multihost true, but no cluster was detected: pass "
+            "--coordinator_address/--num_processes/--process_id explicitly "
+            "or launch under a recognized runtime (Cloud TPU pod, SLURM, "
+            "OpenMPI, JAX_COORDINATOR_ADDRESS)."
+        )
+    return active
+
+
+def ensure_pod_data_parallel(cfg):
+    """On a multi-process runtime, the standard trainer must shard the env
+    batch over the global mesh — otherwise every host redundantly runs the
+    full unsharded program and collective checkpoint saves see only
+    process-local arrays. Forces ``data_parallel=True`` (with a console
+    warning) when ``jax.process_count() > 1``."""
+    import jax
+
+    if jax.process_count() > 1 and not cfg.data_parallel:
+        if jax.process_index() == 0:
+            print(
+                "[doodle_tpu] multi-process runtime detected: forcing "
+                "--data_parallel true (required on pods; see "
+                "docs/MIGRATION.md)"
+            )
+        return dataclasses.replace(cfg, data_parallel=True)
+    return cfg
 
 
 def make_writer(args: argparse.Namespace):
-    """--logdir → JsonlWriter (+TensorBoard with --tensorboard)."""
+    """--logdir → JsonlWriter (+TensorBoard with --tensorboard).
+
+    Primary-host only: on a pod every host shares the filesystem, so
+    constructing writers on non-primary processes would append duplicate
+    params events to the same metrics.jsonl and spawn stray per-host
+    TensorBoard event files (the trainer would discard-but-not-close them).
+    Call after ``apply_multihost`` so ``jax.process_index()`` is final.
+    """
     if not getattr(args, "logdir", None):
+        return None
+    from ..parallel.launch import is_primary_host
+
+    if not is_primary_host():
         return None
     from ..utils import JsonlWriter, MultiWriter, TensorBoardWriter
 

@@ -16,6 +16,7 @@ from ._common import (
     add_platform_arg,
     apply_platform,
     config_from_args,
+    ensure_pod_data_parallel,
     make_writer,
     write_metrics_out,
 )
@@ -38,8 +39,8 @@ def main(argv=None) -> float:
     args = build_parser().parse_args(argv)
     apply_platform(args)
     apply_multihost(args)
-    cfg = config_from_args(args, TrainConfig)
-    writer = make_writer(args)
+    cfg = ensure_pod_data_parallel(config_from_args(args, TrainConfig))
+    writer = make_writer(args)   # None on non-primary hosts
 
     monitor_cb = None
     if args.monitor_dir:
@@ -58,8 +59,11 @@ def main(argv=None) -> float:
             )
 
     best = train_and_eval(cfg, writer=writer, monitor_cb=monitor_cb)
-    write_metrics_out(args.metrics_out, best)
-    print(f"best_test_mse: {best}")
+    from ..parallel.launch import is_primary_host
+
+    if is_primary_host():   # process 0 owns metrics_out + console lines
+        write_metrics_out(args.metrics_out, best)
+        print(f"best_test_mse: {best}")
     return best
 
 

@@ -38,10 +38,25 @@ def main(argv=None) -> float:
     apply_platform(args)
     apply_multihost(args)
     cfg = config_from_args(args, TTTConfig)
-    writer = make_writer(args)
+
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() == 0:
+        # The TTT trainer's state (fine_error_vec, curriculum envs) is
+        # host-replicated by design — a pod runs N identical copies, it
+        # does not scale the batch. Say so loudly instead of implying DP.
+        print(
+            "[doodle_tpu] note: the TTT trainer runs host-replicated on "
+            "multi-process runtimes (no batch sharding); use cli.train "
+            "--data_parallel for pod-scaled training"
+        )
+    writer = make_writer(args)   # None on non-primary hosts
     best = ttt_train_and_eval(cfg, writer=writer)
-    write_metrics_out(args.metrics_out, best)
-    print(f"best_test_mse: {best}")
+    from ..parallel.launch import is_primary_host
+
+    if is_primary_host():   # process 0 owns metrics_out + console lines
+        write_metrics_out(args.metrics_out, best)
+        print(f"best_test_mse: {best}")
     return best
 
 

@@ -63,24 +63,44 @@ class InferenceSession:
     def from_checkpoint(
         cls,
         checkpoint_dir: str,
-        num_heliostats: int,
-        batch_size: int,
+        num_heliostats: int | None = None,
+        batch_size: int | None = None,
         policy_kwargs: dict | None = None,
     ) -> "InferenceSession":
         """Restore ``{checkpoint_dir}/latest`` as written by the trainers.
 
-        ``policy_kwargs`` must match the training-time architecture knobs
-        (architecture, enc_dim, lstm_hid, …).
+        Trainer checkpoints are self-describing (``latest_meta.json``
+        sidecar, utils.checkpoint): the training-time policy architecture
+        and batch size are reconstructed automatically — pass nothing but
+        the directory. Explicit arguments override the sidecar (e.g. a
+        different serving batch size); for pre-sidecar checkpoints
+        ``num_heliostats``/``batch_size``/``policy_kwargs`` must be given
+        and must match the training-time knobs.
         """
-        from .utils.checkpoint import restore_checkpoint
+        from .utils.checkpoint import load_meta, restore_checkpoint
 
-        policy = PolicyNet(num_heliostats=num_heliostats,
-                           **(policy_kwargs or {}))
+        meta = load_meta(f"{checkpoint_dir}/latest") or {}
+        kwargs = dict(meta.get("policy") or {})
+        if num_heliostats is not None:
+            kwargs["num_heliostats"] = num_heliostats
+        kwargs.update(policy_kwargs or {})
+        if "num_heliostats" not in kwargs:
+            raise ValueError(
+                "checkpoint has no meta sidecar; pass num_heliostats "
+                "(and policy_kwargs matching training time)"
+            )
+        if batch_size is None:
+            batch_size = meta.get("batch_size")
+            if batch_size is None:
+                raise ValueError(
+                    "checkpoint has no meta sidecar; pass batch_size"
+                )
+        policy = PolicyNet(**kwargs)
         # Restore the full trainer checkpoint as saved and keep only the
         # params subtree (the optimizer state is irrelevant at serve time).
         raw = restore_checkpoint(f"{checkpoint_dir}/latest")
         params = jax.tree.map(jnp.asarray, raw["params"])
-        return cls(policy=policy, params=params, batch_size=batch_size)
+        return cls(policy=policy, params=params, batch_size=int(batch_size))
 
     # ------------------------------------------------------------------
     def init_carry(self):

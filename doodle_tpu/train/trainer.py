@@ -319,20 +319,26 @@ def train_and_eval(
     called): every process runs the same loop — computations (train/eval
     steps, orbax checkpoint saves, which are collective) execute on all
     hosts; console lines, writer scalars, and ``progress_cb`` fire on
-    process 0 only. Monitor dumps and image logging are disabled across
-    processes: they slice batch-sharded arrays, and slicing a
-    cross-process-sharded array is itself a collective that a
-    primary-only guard would deadlock.
+    process 0 only. With ``data_parallel`` (the pod configuration), monitor
+    dumps and image logging are additionally disabled on every process:
+    they slice batch-sharded arrays, and slicing a cross-process-sharded
+    array is itself a collective that a primary-only guard would deadlock.
+    Without ``data_parallel`` the arrays are process-local, so process 0
+    keeps its 3-D diagnostics.
     """
     _primary = jax.process_index() == 0
     _log = print if _primary else (lambda *a, **k: None)
     if jax.process_count() > 1:
-        monitor_cb = None
         if not _primary:
             writer = None
             progress_cb = None
-        elif writer is not None:
-            writer = _ScalarOnlyWriter(writer)
+            monitor_cb = None
+        if cfg.data_parallel:
+            # cross-process-sharded batch: slicing for dumps/images is a
+            # collective — a primary-only call would deadlock the pod.
+            monitor_cb = None
+            if writer is not None:
+                writer = _ScalarOnlyWriter(writer)
 
     key = jax.random.PRNGKey(cfg.seed)
     k_geo, k_env, k_policy, k_run = jax.random.split(key, 4)
@@ -722,12 +728,15 @@ def train_and_eval(
         ):
             import pathlib
 
-            from ..utils.checkpoint import save_checkpoint
+            from ..utils.checkpoint import policy_meta, save_checkpoint
 
             save_checkpoint(
                 str(pathlib.Path(cfg.checkpoint_dir) / "latest"),
                 {"params": p_params, "opt_state": p_opt_state,
                  "step": jnp.asarray(step_i), "lr": jnp.asarray(lr)},
+                meta={"policy": policy_meta(policy),
+                      "batch_size": cfg.batch_size,
+                      "config": dataclasses.asdict(cfg)},
             )
 
         if progress_cb is not None:

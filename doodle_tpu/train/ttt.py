@@ -649,12 +649,15 @@ def ttt_train_and_eval(
         ):
             import pathlib
 
-            from ..utils.checkpoint import save_checkpoint
+            from ..utils.checkpoint import policy_meta, save_checkpoint
 
             save_checkpoint(
                 str(pathlib.Path(cfg.checkpoint_dir) / "latest"),
                 {"params": p_params, "opt_state": p_opt_state,
                  "step": jnp.asarray(step_i), "lr": jnp.asarray(lr)},
+                meta={"policy": policy_meta(policy),
+                      "batch_size": cfg.batch_size,
+                      "config": dataclasses.asdict(cfg)},
             )
 
         if progress_cb is not None:

@@ -7,26 +7,32 @@ seed variance". This script measures exactly that (VERDICT r1 item 2):
   heliostat geometry per seed** (positions sampled once with numpy and fed
   to both frameworks), matched env/optimizer knobs — with BOTH the PyTorch
   reference (imported read-only from /root/reference) and doodle_tpu;
-* over ≥3 seeds × ≥100 optimizer steps, recording the full per-step
+* over ≥5 seeds × ≥100 optimizer steps (the reference's own sweep seed
+  list, ``run_experiments.py:28``), recording the full per-step
   alignment curve of every run;
 * defines the reference's seed-variance band as the across-seed min/max
-  envelope of the (rolling-mean-smoothed, **log-space**) reference curves,
-  widened by ``--band_expand`` of its own width per side (3 seeds
-  undersample the true band, and weight-init distributions differ by
-  framework; log space because the loss decays exponentially, so seed
-  variance is multiplicative);
-* asserts the doodle_tpu mean curve is **never worse** than the band's
-  upper edge for at least ``--band_frac`` of the steps (one-sided: the
-  north-star goal is match-or-beat, and the measured 2026-08-19 result is
-  that doodle tracks the band through the descent, then plateaus ~15%
-  BELOW it — 49 vs 52-65 mrad — so a two-sided in-band test fails on the
-  good side), reports the two-sided in-band fraction for reference, and
-  requires both implementations to improve by the minimum factor.
+  envelope of the (rolling-mean-smoothed, **log-space**) reference curves
+  (log space because the loss decays exponentially, so seed variance is
+  multiplicative);
+* **pre-registered acceptance rule (r3, BASELINE.md)**: the doodle
+  geometric-mean curve must be not-worse than the UNWIDENED band's upper
+  edge for ≥ ``--band_frac`` (default 90%) of steps (one-sided: the
+  north-star goal is match-or-beat — a two-sided in-band test fails on
+  the good side when doodle plateaus below the band), and both
+  implementations must improve ≥ ``--min_improvement``. The
+  ``--band_expand``-widened fractions are reported alongside for
+  comparability with the r2 analysis but carry no pass/fail weight.
+* ``--ttt`` switches both arms to the TTT rollout (residual actions,
+  truncated BPTT, advantage-accumulated alignment objective — reference
+  ``train_with_env_com_trunc_advantage_ttt.py:169-360`` vs
+  ``doodle_tpu.train.ttt.ttt_rollout``), COM encoder + LSTM policy. The
+  advantage-accumulated alignment VALUE telescopes to the last-step
+  alignment, so the recorded curves are directly comparable.
 
-Artifacts: per-step curves → ``results/parity_curves.json``, overlay plot
-→ ``results/parity_curves.png``, summary table printed for RESULTS.md.
+Artifacts: per-step curves → ``results/parity_curves[_ttt].json``, overlay
+plot → ``results/parity_curves[_ttt].png``, summary printed for RESULTS.md.
 
-    JAX_PLATFORMS=cpu python scripts/parity_learning_curve.py
+    JAX_PLATFORMS=cpu python scripts/parity_learning_curve.py [--ttt]
 """
 
 import argparse
@@ -174,6 +180,130 @@ def run_doodle(args, seed: int, pos_np: np.ndarray) -> list[float]:
     return curve[: args.steps]
 
 
+def _ref_stubs():
+    """Stub the reference's module-scope imports (mlflow/adamp/plotly)."""
+    import types
+
+    import torch
+
+    if "mlflow" not in sys.modules:
+        sys.modules["mlflow"] = types.ModuleType("mlflow")
+        sys.modules["mlflow_logger"] = types.SimpleNamespace(MLflowWriter=object)
+    if "adamp" not in sys.modules:
+        sys.modules["adamp"] = types.SimpleNamespace(AdamP=torch.optim.Adam)
+    if "plotly" not in sys.modules:
+        sys.modules["plotly"] = types.ModuleType("plotly")
+        sys.modules["plotting_utils"] = types.SimpleNamespace(
+            scatter3d_vectors=lambda *a, **k: None
+        )
+    return torch
+
+
+def run_reference_ttt(args, seed: int, pos_np: np.ndarray) -> list[float]:
+    """Per-step advantage-alignment curve from the reference TTT rollout
+    (``train_with_env_com_trunc_advantage_ttt.py:169-360``; the
+    advantage-accumulated alignment value telescopes to the last-step
+    alignment in mrad)."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    torch = _ref_stubs()
+    torch.manual_seed(seed)
+
+    import train_with_env_com_trunc_advantage_ttt as ttt_mod
+    from test_environment import HelioEnv as RefEnv
+
+    N = args.num_heliostats
+    env = RefEnv(
+        heliostat_pos=torch.from_numpy(pos_np.copy()),
+        targ_pos=torch.tensor([0.0, -5.0, 0.0]),
+        targ_area=(15.0, 15.0),
+        targ_norm=torch.tensor([0.0, 1.0, 0.0]),
+        sigma_scale=0.01,
+        error_scale_mrad=args.error_scale_mrad,
+        initial_action_noise=0.0,
+        resolution=args.resolution,
+        batch_size=args.batch_size,
+        device="cpu",
+    )
+    policy = ttt_mod.PolicyNet(
+        img_channels=1, num_heliostats=N, aux_dim=3 + N * 3,
+        architecture="lstm", lstm_hid=32, dropout=0.0,
+    )
+    opt = torch.optim.Adam(policy.parameters(), lr=args.lr)
+
+    curve = []
+    for step in range(args.steps):
+        parts, _, _, _, _, _ = ttt_mod.rollout(
+            env, policy, args.k, args.T_ttt, torch.device("cpu"),
+            truncate_every=args.truncate_every, detach_input=True,
+        )
+        loss = parts["alignment_loss"]
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        curve.append(float(loss))
+        if step % 20 == 0:
+            print(f"  [ref-ttt seed={seed} {step:3d}] {curve[-1]:.1f} mrad")
+    return curve
+
+
+def run_doodle_ttt(args, seed: int, pos_np: np.ndarray) -> list[float]:
+    """Per-step advantage-alignment curve from doodle's TTT rollout."""
+    import jax.numpy as jnp
+    import optax
+
+    from doodle_tpu.core.scene import make_scene
+    from doodle_tpu.env import env as env_lib
+    from doodle_tpu.models.policy import PolicyNet
+    from doodle_tpu.train.ttt import ttt_rollout
+
+    scene = make_scene(pos_np, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+    cfg = env_lib.EnvConfig(
+        resolution=args.resolution, batch_size=args.batch_size,
+        sigma_scale=0.01, error_scale_mrad=args.error_scale_mrad,
+        field_init_noise=0.0,
+    )
+    key = jax.random.PRNGKey(seed)
+    k_env, k_pol, k_run = jax.random.split(key, 3)
+    state = env_lib.init_state(scene, cfg, k_env)
+    policy = PolicyNet(
+        num_heliostats=args.num_heliostats, architecture="lstm",
+        encoder="com", lstm_hid=32, dropout=0.0, normalize_output=False,
+    )
+    params = policy.init(
+        k_pol,
+        jnp.zeros((1, args.k, args.resolution, args.resolution)),
+        jnp.zeros((1, 3 + args.num_heliostats * 3)),
+        policy.init_carry(1),
+    )
+    opt = optax.adam(args.lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, key_t):
+        def loss_fn(p):
+            res = ttt_rollout(
+                policy, p, scene, cfg, state, key_t,
+                k=args.k, T=args.T_ttt,
+                truncate_every=args.truncate_every,
+                detach_input=True, deterministic=True,
+            )
+            return res.losses["alignment_loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    curve = []
+    run_key = k_run
+    for _ in range(args.steps):
+        run_key, k_t = jax.random.split(run_key)
+        params, opt_state, loss = train_step(params, opt_state, k_t)
+        curve.append(float(loss))
+    print(f"  [doodle-ttt seed={seed}] {curve[0]:.1f} -> {curve[-1]:.1f} mrad")
+    return curve
+
+
 def smooth(x: np.ndarray, w: int) -> np.ndarray:
     """Centered rolling mean (edge-padded) over the step axis."""
     if w <= 1:
@@ -194,8 +324,15 @@ def main(argv=None):
     p.add_argument("--k", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--error_scale_mrad", type=float, default=60.0)
-    p.add_argument("--seeds", type=str, default="42,420,69",
-                   help="comma-separated; ≥3 for a meaningful band")
+    p.add_argument("--seeds", type=str, default="42,420,69,666,999",
+                   help="comma-separated; the default is the reference's "
+                        "own sweep seed list (run_experiments.py:28)")
+    p.add_argument("--ttt", action="store_true",
+                   help="run the TTT-rollout arms instead of the standard "
+                        "rollout (COM encoder, residual actions, truncated "
+                        "advantage objective)")
+    p.add_argument("--T_ttt", type=int, default=6)
+    p.add_argument("--truncate_every", type=int, default=4)
     p.add_argument("--min_improvement", type=float, default=1.15,
                    help="required first/last alignment ratio for both")
     p.add_argument("--band_expand", type=float, default=0.5,
@@ -210,6 +347,9 @@ def main(argv=None):
                         "instead of re-training (the runs are deterministic)")
     args = p.parse_args(argv)
     seeds = [int(s) for s in args.seeds.split(",")]
+    run_ref = run_reference_ttt if args.ttt else run_reference
+    run_doo = run_doodle_ttt if args.ttt else run_doodle
+    stem = "parity_curves_ttt" if args.ttt else "parity_curves"
 
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -230,17 +370,17 @@ def main(argv=None):
             pos = sample_geometry(seed, args.num_heliostats)
             if have_ref:
                 print(f"reference (torch CPU), seed {seed}:")
-                ref_curves[seed] = run_reference(args, seed, pos)
+                ref_curves[seed] = run_ref(args, seed, pos)
             print(f"doodle_tpu, seed {seed}:")
-            doodle_curves[seed] = run_doodle(args, seed, pos)
+            doodle_curves[seed] = run_doo(args, seed, pos)
 
         payload = {
             "config": vars(args),
             "reference": {str(s): c for s, c in ref_curves.items()},
             "doodle_tpu": {str(s): c for s, c in doodle_curves.items()},
         }
-        (out / "parity_curves.json").write_text(json.dumps(payload))
-        print(f"curves -> {out / 'parity_curves.json'}")
+        (out / f"{stem}.json").write_text(json.dumps(payload))
+        print(f"curves -> {out / f'{stem}.json'}")
 
     D = smooth(np.array([doodle_curves[s] for s in seeds]).T,
                args.smooth_window)                      # [steps, seeds]
@@ -265,11 +405,13 @@ def main(argv=None):
         width = hi - lo
         lo_x = lo - args.band_expand * width
         hi_x = hi + args.band_expand * width
-        inside = (dl >= lo_x) & (dl <= hi_x)
-        frac_inside = float(inside.mean())
-        not_worse = dl <= hi_x
-        frac = float(not_worse.mean())
-        below = float((dl < lo_x).mean())
+        # PRIMARY (pre-registered r3 rule, BASELINE.md): unwidened band.
+        frac_raw = float((dl <= hi).mean())
+        inside_raw = float(((dl >= lo) & (dl <= hi)).mean())
+        below_raw = float((dl < lo).mean())
+        # Secondary: the r2 ±widened stats, reported for comparability.
+        frac_wide = float((dl <= hi_x).mean())
+        inside_wide = float(((dl >= lo_x) & (dl <= hi_x)).mean())
         lo_x, hi_x = np.exp(lo_x), np.exp(hi_x)  # back to mrad for the plot
 
         for s, c in ref_curves.items():
@@ -278,13 +420,15 @@ def main(argv=None):
                   f"({ratio:.2f}x)")
             assert ratio >= args.min_improvement, f"ref seed {s} did not learn"
 
-        print(f"doodle mean curve vs reference seed band "
-              f"(±{args.band_expand:.0%} widened): not-worse for {frac:.1%} "
-              f"of {args.steps} steps (required ≥{args.band_frac:.0%}); "
-              f"inside {frac_inside:.1%}, better-than-band {below:.1%}")
-        assert frac >= args.band_frac, (
-            f"doodle curve WORSE than the reference seed-variance band "
-            f"({frac:.1%} < {args.band_frac:.0%} of steps not-worse)"
+        print(f"doodle mean vs UNWIDENED ref band ({len(seeds)} seeds): "
+              f"not-worse {frac_raw:.1%} of {args.steps} steps "
+              f"(required ≥{args.band_frac:.0%}); inside {inside_raw:.1%}, "
+              f"better-than-band {below_raw:.1%}")
+        print(f"  [secondary, ±{args.band_expand:.0%} widened: "
+              f"not-worse {frac_wide:.1%}, inside {inside_wide:.1%}]")
+        assert frac_raw >= args.band_frac, (
+            f"doodle curve WORSE than the unwidened reference band "
+            f"({frac_raw:.1%} < {args.band_frac:.0%} of steps not-worse)"
         )
 
         try:
@@ -312,8 +456,8 @@ def main(argv=None):
                          "reference (3 seeds, shared geometry)")
             ax.legend()
             fig.tight_layout()
-            fig.savefig(out / "parity_curves.png", dpi=120)
-            print(f"plot -> {out / 'parity_curves.png'}")
+            fig.savefig(out / f"{stem}.png", dpi=120)
+            print(f"plot -> {out / f'{stem}.png'}")
         except Exception as e:  # pragma: no cover — plot is best-effort
             print(f"(plot skipped: {e})")
 

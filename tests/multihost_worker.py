@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     port, pid = int(sys.argv[1]), int(sys.argv[2])
+    ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else None
 
     import jax
 
@@ -110,6 +111,26 @@ def main() -> None:
         sum(np.abs(np.asarray(x)).sum() for x in jax.tree.leaves(params))
     )
 
+    # Collective checkpoint save across the REAL process boundary (orbax:
+    # every process must call save; sidecar meta written by process 0),
+    # then one more step so the parent can assert trajectory continuity
+    # after an elastic restore (different process/device topology).
+    post_save_loss = None
+    if ckpt_dir:
+        from doodle_tpu.models.policy import PolicyNet as _P  # noqa: F401
+        from doodle_tpu.utils.checkpoint import policy_meta, save_checkpoint
+
+        save_checkpoint(
+            os.path.join(ckpt_dir, "latest"),
+            {"params": params, "opt_state": opt_state},
+            meta={"policy": policy_meta(policy), "batch_size": 8},
+        )
+        sync_hosts("ckpt_saved")
+        params, opt_state, s_state, loss, parts = step(
+            params, opt_state, s_state, key, weights
+        )
+        post_save_loss = float(np.asarray(loss))
+
     # Host-side helpers across the real process boundary.
     token = float(np.asarray(broadcast_from_primary(np.float32(pid + 7.0))))
     sync_hosts("multihost_worker_done")
@@ -119,6 +140,7 @@ def main() -> None:
         "primary": is_primary_host(),
         "losses": losses,
         "param_sum": param_sum,
+        "post_save_loss": post_save_loss,
         "broadcast": token,
     }), flush=True)
 

@@ -46,3 +46,46 @@ def test_bench_train_rate_runs():
         reps_small=1, reps_large=3, splat_backend="xla",
     )
     assert rate > 0 and dt > 0
+
+
+def test_bench_train_rate_frozen_preset_runs():
+    rate, dt = bench.bench_train_rate(
+        5, 32, 2, k=2, T=2, use_error_mask=False,
+        reps_small=1, reps_large=3, splat_backend="xla",
+        loss_preset="frozen",
+    )
+    assert rate > 0 and dt > 0
+
+
+def test_train_metrics_contract_never_silently_drops_keys():
+    """Every TRAIN_PLAN entry must yield rate+ms keys or an explicit
+    <name>_skipped reason (VERDICT r2 item 4)."""
+    plan = [
+        ("a", 100, dict(x=1)),
+        ("b", 5, dict(x=2)),      # over budget -> skipped marker
+        ("c", 100, dict(x=3)),    # runner raises -> skipped marker
+    ]
+
+    def runner(x):
+        if x == 3:
+            raise RuntimeError("boom")
+        return 10.0 / x, x / 10.0
+
+    m = bench.collect_train_metrics(
+        t_start=0.0, plan=plan, runner=runner, now=lambda: 50.0
+    )
+    assert m["a_steps_per_s"] == 10.0 and m["a_step_ms"] == 100.0
+    assert "budget" in m["b_skipped"]
+    assert "boom" in m["c_skipped"]
+    assert "full" in m["train_loss_presets"]
+    assert "frozen" in m["train_loss_presets"]
+    for name, _, _ in plan:
+        assert (f"{name}_steps_per_s" in m) or (f"{name}_skipped" in m)
+
+
+def test_train_plan_includes_frozen_config4():
+    names = [name for name, _, _ in bench.TRAIN_PLAN]
+    assert "train_config4" in names and "train_config4_frozen" in names
+    by_name = {name: kw for name, _, kw in bench.TRAIN_PLAN}
+    assert by_name["train_config4"]["loss_preset"] == "full"
+    assert by_name["train_config4_frozen"]["loss_preset"] == "frozen"

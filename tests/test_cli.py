@@ -76,3 +76,51 @@ def test_checkpoint_resume(tmp_path):
                    progress_cb=lambda i, m: steps_resumed.append(i))
     assert steps_resumed[0] == 2
     assert steps_resumed[-1] == 3
+
+
+def test_multihost_requested_but_absent_raises():
+    """--multihost true with no detectable cluster must fail loudly, not
+    silently run single-process (ADVICE r2)."""
+    import argparse
+
+    from doodle_tpu.cli._common import apply_multihost
+
+    args = argparse.Namespace(
+        multihost=True, coordinator_address=None,
+        num_processes=None, process_id=None,
+    )
+    with pytest.raises(RuntimeError, match="no cluster"):
+        apply_multihost(args)
+
+
+def test_ensure_pod_data_parallel(monkeypatch):
+    """Single process: cfg unchanged. Multi-process: data_parallel forced
+    on (ADVICE r2 medium — redundant unsharded pods)."""
+    import jax
+
+    from doodle_tpu.cli._common import ensure_pod_data_parallel
+
+    cfg = TrainConfig(data_parallel=False)
+    assert ensure_pod_data_parallel(cfg) is cfg  # 1 process: untouched
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    forced = ensure_pod_data_parallel(cfg)
+    assert forced.data_parallel is True
+    # already-on config passes through
+    cfg_on = TrainConfig(data_parallel=True)
+    assert ensure_pod_data_parallel(cfg_on) is cfg_on
+
+
+def test_make_writer_non_primary_returns_none(monkeypatch, tmp_path):
+    """Non-primary hosts must not open shared log files (ADVICE r2)."""
+    import argparse
+
+    from doodle_tpu.cli import _common
+    from doodle_tpu.parallel import launch
+
+    args = argparse.Namespace(logdir=str(tmp_path / "logs"), tensorboard=False)
+    assert _common.make_writer(args) is not None  # primary: real writer
+
+    monkeypatch.setattr(launch, "is_primary_host", lambda: False)
+    assert _common.make_writer(args) is None

@@ -27,7 +27,12 @@ def _free_port() -> int:
 
 
 @pytest.fixture(scope="module")
-def worker_outputs():
+def ckpt_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("mh_ckpt"))
+
+
+@pytest.fixture(scope="module")
+def worker_outputs(ckpt_dir):
     port = _free_port()
     env = dict(os.environ)
     # The workers configure their own platform/device count; the parent
@@ -37,7 +42,7 @@ def worker_outputs():
     worker = os.path.join(REPO, "tests", "multihost_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(pid)],
+            [sys.executable, worker, str(port), str(pid), ckpt_dir],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             cwd=REPO, env=env, text=True,
         )
@@ -121,6 +126,102 @@ def test_two_process_matches_single_process(worker_outputs):
     np.testing.assert_allclose(
         losses, worker_outputs[0]["losses"], rtol=1e-5
     )
+
+
+def test_multiprocess_checkpoint_elastic_resume(worker_outputs, ckpt_dir):
+    """The 2-process cluster saved an orbax checkpoint collectively; this
+    single-process run (a DIFFERENT process topology: 1×8 CPU devices vs
+    2×2) restores it onto a fresh 4-device mesh and continues training —
+    the next step's loss must continue the workers' trajectory exactly
+    (VERDICT r2 item 3: elastic mesh resume)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from doodle_tpu.core.scene import make_scene
+    from doodle_tpu.env import env as env_lib
+    from doodle_tpu.models.policy import PolicyNet
+    from doodle_tpu.parallel import (
+        make_mesh,
+        make_sharded_train_step,
+        shard_env_state,
+    )
+    from doodle_tpu.utils.checkpoint import restore_checkpoint
+
+    assert worker_outputs[0]["post_save_loss"] is not None
+
+    # Same geometry/config as the workers (deterministic from seeds).
+    pos = np.stack(
+        [np.linspace(-20, 20, 8), np.full(8, 80.0), np.zeros(8)], axis=1
+    )
+    scene = make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+    cfg = env_lib.EnvConfig(
+        resolution=16, batch_size=8, sigma_scale=0.01, error_scale_mrad=30.0,
+        new_errors_every_reset=False, field_init_noise=0.0,
+    )
+    state = env_lib.init_state(scene, cfg, jax.random.PRNGKey(0))
+    policy = PolicyNet(num_heliostats=8, enc_dim=16, lstm_hid=16,
+                       architecture="lstm", dropout=0.0)
+    img = jnp.zeros((8, 2, 16, 16))
+    aux = jnp.zeros((8, 3 + 24))
+    template_params = policy.init(jax.random.PRNGKey(1), img, aux,
+                                  policy.init_carry(8))
+    opt = optax.adam(1e-3)
+    template_opt = opt.init(template_params)
+
+    # Elastic restore: put the template onto the NEW mesh (replicated) so
+    # orbax resharding lands the checkpoint directly on the current
+    # topology — the on-disk layout is mesh-agnostic.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(4)
+    repl = NamedSharding(mesh, P())
+    template = jax.device_put(
+        {"params": template_params, "opt_state": template_opt}, repl
+    )
+    ck = restore_checkpoint(os.path.join(ckpt_dir, "latest"), target=template)
+    params, opt_state = ck["params"], ck["opt_state"]
+    # Restored params are the workers' post-step-2 params.
+    param_sum = float(
+        sum(np.abs(np.asarray(x)).sum() for x in jax.tree.leaves(params))
+    )
+    np.testing.assert_allclose(
+        param_sum, worker_outputs[0]["param_sum"], rtol=1e-6
+    )
+
+    # Continue on the 4-device single-process mesh (elastic: 2 procs -> 1).
+    step = make_sharded_train_step(
+        policy, scene, cfg, opt, mesh, k=2, T=2, deterministic=True,
+        impl="shard_map",
+    )
+    s_state = shard_env_state(mesh, state)
+    weights = jnp.array([1.0, 0.0, 1.0, 1.0])
+    params, opt_state, s_state, loss, _ = step(
+        params, opt_state, s_state, jax.random.PRNGKey(5), weights
+    )
+    np.testing.assert_allclose(
+        float(loss), worker_outputs[0]["post_save_loss"], rtol=1e-5
+    )
+
+
+def test_serve_from_multiprocess_checkpoint_no_kwargs(worker_outputs, ckpt_dir):
+    """Self-describing checkpoints: InferenceSession.from_checkpoint needs
+    only the directory — architecture + batch size come from the sidecar
+    the 2-process cluster wrote (VERDICT r2 item 3)."""
+    import jax.numpy as jnp
+
+    from doodle_tpu.serve import InferenceSession
+
+    session = InferenceSession.from_checkpoint(ckpt_dir)
+    assert session.batch_size == 8
+    assert session.policy.num_heliostats == 8
+    assert session.policy.enc_dim == 16
+    carry = session.init_carry()
+    action, carry = session.control(
+        jnp.zeros((8, 2, 16, 16)), jnp.zeros((8, 27)), carry
+    )
+    assert action.shape == (8, 8, 3)
+    assert np.isfinite(np.asarray(action)).all()
 
 
 def test_launch_single_process_semantics():
