@@ -187,10 +187,17 @@ def make_sharded_train_step(
         out_specs=(P(), P(), state_spec, P(), P()),
         # rollout's scan seeds its carry with zero templates, which the
         # varying-manual-axes checker types as unvarying while the loop
-        # outputs are device-varying; the shared rollout shouldn't grow
-        # pcasts for this caller, so replication checking is off here and
-        # the replicated-output property is covered by the parity test
-        # (tests/test_parallel.py::test_shard_map_train_step_matches_unsharded).
+        # outputs are device-varying. Enabling the checker was tried and
+        # REVERTED (2026-08-20): the required pcasts on the carry seeds
+        # change XLA's psum lowering — the single fused post-backward
+        # gradient all-reduce splits into 10 per-layer-chunk all-reduces
+        # (caught by test_collective_budget), trading the pinned
+        # one-latency-hit design for scheduling this latency-bound small
+        # model doesn't want. So replication checking stays off and the
+        # replicated-output property is covered by the parity test
+        # (tests/test_parallel.py::test_shard_map_train_step_matches_unsharded)
+        # plus the collective-budget test, which would catch a diverging
+        # output spec as a changed collective signature.
         check_vma=False,
     )
     return jax.jit(shard)

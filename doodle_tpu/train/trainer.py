@@ -308,8 +308,13 @@ def train_and_eval(
     monitor_cb: Callable[[int, dict], None] | None = None,
     return_best_mse: bool = True,
     progress_cb: Callable[[int, dict], None] | None = None,
+    init_transform: Callable[[Any], Any] | None = None,
 ) -> float:
     """Train the policy; returns best (or last) test MSE — the HPO objective.
+
+    ``init_transform(params) -> params``: optional hook applied to the
+    freshly initialized policy params (warm starts, alternative init
+    distributions — e.g. the parity harness's torch-style init).
 
     ``writer``: optional MLflow/TensorBoard-style object with
     ``add_scalar(tag, value, step)`` / ``add_images(...)``.
@@ -414,6 +419,8 @@ def train_and_eval(
     params = policy.init(
         k_policy, dummy_img, dummy_aux, policy.init_carry(1)
     )
+    if init_transform is not None:
+        params = init_transform(params)
 
     def make_opt(learning_rate):
         if cfg.optimizer == "dominant_adam":
