@@ -101,10 +101,11 @@ def main():
             gxx = gx_ref[0, :]
             gyy = gy_ref[0, :]
             rr = r[..., None]
-            if mode == "no_vpu":
-                # constant tables: keeps input loads, skips FMAs + exp2
-                fx = px[..., None] + jnp.zeros_like(gxx)[None, None, :] + 1.0
-                fy = py[..., None] + jnp.zeros_like(gyy)[None, None, :] + 1.0
+            if mode == "min_vpu":
+                # one-op tables (the real kernel's first multiply only):
+                # full − min_vpu ≈ the remaining FMA+exp2 table cost
+                fx = px[..., None] * gxx[None, None, :]
+                fy = py[..., None] * gyy[None, None, :]
             else:
                 argx = px[..., None] * gxx[None, None, :] - (
                     rr * (gxx * gxx)[None, None, :] + qx[..., None])
@@ -115,9 +116,14 @@ def main():
                 else:
                     fx = jnp.exp2(argx)
                     fy = jnp.exp2(argy)
-            if mode == "no_mxu":
-                tile = (fx.sum(axis=1)[:, None, :]
-                        + fy.sum(axis=1)[:, :, None])
+            if mode == "tiny_mxu":
+                # contract only 8 of the 512 rays: full tables, ~1/64 of
+                # the MXU work (full − tiny_mxu ≈ non-overlapped MXU time)
+                tile = jax.lax.dot_general(
+                    fx[:, :8, :], fy[:, :8, :], (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
             else:
                 tile = jax.lax.dot_general(
                     fx, fy, (((1,), (1,)), ((0,), (0,))),
@@ -137,13 +143,21 @@ def main():
     results = {"config": {"B": B, "N": N, "res": RES, "bf16": True}}
 
     try:
+        def save():
+            OUT.mkdir(parents=True, exist_ok=True)
+            (OUT / "attribution.json").write_text(
+                json.dumps(results, indent=1)
+            )
+
         results["full_ms"] = round(timed_rate(), 4)
         print(f"full kernel: {results['full_ms']} ms", flush=True)
+        save()
 
-        for mode in ("no_exp", "no_vpu", "no_mxu"):
+        for mode in ("no_exp", "min_vpu", "tiny_mxu"):
             sp._splat_kernel_fast = make_variant(mode)
             results[f"{mode}_ms"] = round(timed_rate(), 4)
             print(f"{mode}: {results[f'{mode}_ms']} ms", flush=True)
+            save()
         sp._splat_kernel_fast = orig_kernel
 
         # ---- grid-step overhead: image-block sweep at constant work ----
@@ -163,6 +177,7 @@ def main():
         results["zero_step_extrapolation_ms"] = round(intercept, 4)
         print(f"per-grid-step overhead: {results['per_grid_step_us']} µs; "
               f"extrapolated 0-step time {intercept:.4f} ms", flush=True)
+        save()
 
         # ---- profiler capture (evidence artifact) ----
         try:
