@@ -97,6 +97,8 @@ def render(
     backend = cfg.splat_backend
     if backend == "auto":
         backend = "pallas" if scene.heliostat_pos.shape[0] >= 400 else "xla"
+    if cfg.normalize_kernels:
+        backend = "xla"   # legacy gen-1 path; see FieldConfig
     if backend == "pallas":
         from ..ops.splat_pallas import splat_summed_pallas
 
@@ -118,6 +120,13 @@ def render(
             cfg.sigma_scale,
             valid,
         )
+        if cfg.normalize_kernels:
+            # Unit-mass kernels (gen 1, ``newenv/newenv.py:78-79``): the
+            # separable kernel's total is exactly (Σ_i fx_i)·(Σ_j fy_j).
+            mass = (
+                jnp.sum(fx, axis=-1) * jnp.sum(fy, axis=-1)
+            )[..., None]                                     # [B, N, 1]
+            fx = fx / jnp.clip(mass, 1e-30, None)
         images = splat_image(fx, fy, precision=cfg.precision)  # [B, res, res]
     if cfg.normalize_energy:
         # Older-generation unit-energy images (newenv/newenv_rl_test.py:

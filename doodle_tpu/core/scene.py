@@ -85,6 +85,12 @@ class FieldConfig:
     # generation computes the total and then does NOT apply it
     # (``newenv_rl_test_multi_error.py:409-410``) — False reproduces that.
     normalize_energy: bool = False
+    # Generation-1 behavior (``newenv/newenv.py:78-79``): each ray's splat
+    # kernel normalized to unit mass before summation (later generations
+    # comment this out, ``newenv/newenv_rl_test_vec.py:100-101``). Exact in
+    # the separable form — a kernel's mass is (Σfx)·(Σfy) — and a legacy
+    # flag, so it routes to the XLA backend.
+    normalize_kernels: bool = False
     # Error model (§2.9 evolution strata):
     #   "rotation_mrad" — current generation: (East, Up) rotations in mrad
     #     ([..., N, 2] error tensors) followed by the leaky-ReLU up-clamp
