@@ -148,12 +148,17 @@ def bench_dispatch_rate(num_heliostats, resolution, batch_size,
 
 LOSS_PRESETS = {
     # [alignment, bound, mse, dist] weights.
-    # "full": every term active — the post-warmup blend, the heaviest
-    # backward (flux gradients through all T renders).
+    # "full": every term active — the post-warmup blend.
     "full": (100.0, 1.0, 1.0, 1e4),
     # "frozen": alignment-only — the shipped-default schedule (the
     # reference's `if True:` freeze, train_with_env.py:346-356) and the
-    # program behind every results/RESULTS.md trainer number.
+    # weights behind every results/RESULTS.md trainer number. NOTE: the
+    # weights are a TRACED argument (exactly like the trainer's), so XLA
+    # compiles the same program for both presets — the flux backward runs
+    # with exactly-zero cotangents rather than being dead-code-eliminated.
+    # Measured accordingly (~equal ms); the preset pair exists so a future
+    # change that makes the weights static (and unlocks DCE) is visible as
+    # a frozen-vs-full gap in BENCH history.
     "frozen": (100.0, 0.0, 0.0, 0.0),
 }
 
@@ -188,6 +193,7 @@ def bench_train_rate(num_heliostats, resolution, batch_size, k, T,
     policy = PolicyNet(
         num_heliostats=num_heliostats, architecture="lstm", dropout=0.1,
         encoder_dtype=encoder_dtype,
+        encoder_gelu_approximate=True,   # TrainConfig's production default
     )
     img = jnp.zeros((1, k, resolution, resolution))
     aux = jnp.zeros((1, 3 + num_heliostats * 3))

@@ -129,6 +129,10 @@ class PolicyNet(nn.Module):
     # First-conv stride of the CNN encoder (1 = the reference architecture;
     # 2 = ~4× fewer encoder FLOPs, opt-in — see CNNEncoder.stride).
     encoder_stride: int = 1
+    # tanh-approx GELU for the conv activations (1.84× faster config-4
+    # train step; see CNNEncoder.gelu_approximate). False = erf = torch
+    # parity, the default here; TrainConfig flips it to tanh.
+    encoder_gelu_approximate: bool = False
 
     # Submodule attribute names intentionally match the auto-generated names
     # of the original ``nn.compact`` formulation (``<ClassName>_<i>``) so the
@@ -140,6 +144,7 @@ class PolicyNet(nn.Module):
             self.CNNEncoder_0 = CNNEncoder(
                 out_dim=self.enc_dim, dropout=self.dropout,
                 dtype=self.encoder_dtype, stride=self.encoder_stride,
+                gelu_approximate=self.encoder_gelu_approximate,
             )
         elif self.encoder == "com":
             self.COMEncoder_0 = COMEncoder(

@@ -68,6 +68,13 @@ class TrainConfig:
     # cost at scale), opt-in production knob; checkpoints stay loadable
     # across settings (conv param shapes are stride-independent).
     encoder_stride: int = 1
+    # GELU flavor for the conv activations — "tanh" (default) is the
+    # production knob: measured 843 vs 1549 ms/config-4-train-step (1.84×,
+    # v5e 2026-08-20) against "erf" (torch's exact form, the model-level
+    # parity default), at ≤3e-4 absolute activation delta — below the bf16
+    # conv quantization. Mirrors precision="default" here vs FieldConfig's
+    # "highest": trainer = production defaults, core models = parity.
+    encoder_gelu: str = "tanh"
     lstm_hid: int = 128
     transformer_layers: int = 2
     transformer_heads: int = 8
@@ -408,6 +415,7 @@ def train_and_eval(
         dropout=cfg.dropout,
         encoder_dtype=cfg.encoder_dtype,
         encoder_stride=cfg.encoder_stride,
+        encoder_gelu_approximate=cfg.encoder_gelu == "tanh",
         action_space=cfg.action_space,
     )
     # Init on a batch-1 dummy: parameter shapes are batch-independent, and

@@ -413,6 +413,7 @@ def ttt_train_and_eval(
         dropout=cfg.dropout,
         encoder_dtype=cfg.encoder_dtype,
         encoder_stride=cfg.encoder_stride,
+        encoder_gelu_approximate=cfg.encoder_gelu == "tanh",
         normalize_output=False,     # rollout renormalizes (ref :162)
     )
     # Batch-1 init: parameter shapes are batch-independent, and a full-batch

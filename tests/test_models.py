@@ -225,3 +225,32 @@ def test_initial_carry_structures():
     assert hx.shape == (2, 9)
     with pytest.raises(ValueError):
         initial_carry("nope", 2)
+
+
+def test_encoder_gelu_knob():
+    """TrainConfig defaults to the tanh-approx conv GELU (1.84× faster
+    config-4 train step); the model-level default stays erf (torch
+    parity). The two must actually differ numerically (the knob is live)
+    and agree to the documented ~3e-4 absolute tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from doodle_tpu.models.policy import PolicyNet
+    from doodle_tpu.train import TrainConfig
+
+    assert TrainConfig().encoder_gelu == "tanh"
+    assert PolicyNet(num_heliostats=3).encoder_gelu_approximate is False
+
+    img = jax.random.uniform(jax.random.PRNGKey(0), (2, 2, 16, 16))
+    aux = jnp.zeros((2, 3 + 9))
+    outs = {}
+    for approx in (False, True):
+        p = PolicyNet(num_heliostats=3, enc_dim=16, lstm_hid=8,
+                      architecture="mlp", dropout=0.0,
+                      encoder_gelu_approximate=approx)
+        params = p.init(jax.random.PRNGKey(1), img, aux, p.init_carry(2))
+        outs[approx], _ = p.apply(params, img, aux, p.init_carry(2),
+                                  deterministic=True)
+    a, b = np.asarray(outs[False]), np.asarray(outs[True])
+    assert not np.array_equal(a, b)          # knob is live
+    np.testing.assert_allclose(a, b, atol=5e-3)   # but numerically close
