@@ -133,6 +133,20 @@ class PolicyNet(nn.Module):
     # train step; see CNNEncoder.gelu_approximate). False = erf = torch
     # parity, the default here; TrainConfig flips it to tanh.
     encoder_gelu_approximate: bool = False
+    # Opt-in (beyond-reference) residual head for action_space="normals":
+    # the net predicts a DELTA on the normals carried in ``aux[:, 3:]``
+    # (= the ideal normals in the standard rollout, whose aux is fixed at
+    # reset — env.reset obs contract, env/env.py) and the final Dense is
+    # zero-initialized, so the policy starts exactly aligned
+    # (action ≡ normalize(ideal)) and training capacity goes to flux
+    # compensation of the unobserved mirror errors instead of re-learning
+    # the sun→ideal-normals map through the head bottleneck. Same move the
+    # reference's TTT variant makes with residual action accumulation and
+    # ``fine_error_vec`` (train_with_env_com_trunc_advantage_ttt.py:241-270,
+    # 300) — here as a head-level knob for the standard trainer. The base
+    # is stop-gradient'ed (it is observation data, like the reference's
+    # detached inputs, train_with_env.py:193).
+    residual_head: bool = False
 
     # Submodule attribute names intentionally match the auto-generated names
     # of the original ``nn.compact`` formulation (``<ClassName>_<i>``) so the
@@ -174,7 +188,19 @@ class PolicyNet(nn.Module):
         out_units = self.num_heliostats * (
             2 if self.action_space == "angles" else 3
         )
-        self.Dense_1 = nn.Dense(out_units)
+        if self.residual_head and self.action_space != "normals":
+            raise ValueError(
+                "residual_head requires action_space='normals' "
+                "(the aux base is a normals tensor)"
+            )
+        self.Dense_1 = nn.Dense(
+            out_units,
+            **(
+                {"kernel_init": nn.initializers.zeros}
+                if self.residual_head
+                else {}
+            ),
+        )
 
     # ------------------------------------------------------------------
     def encode(
@@ -231,6 +257,11 @@ class PolicyNet(nn.Module):
             angles = jnp.tanh(out) * self.angle_scale
             return angles.reshape(B, self.num_heliostats, 2), new_carry
         normals = out.reshape(B, self.num_heliostats, 3)
+        if self.residual_head:
+            base = jax.lax.stop_gradient(
+                aux[:, 3 : 3 + self.num_heliostats * 3]
+            ).reshape(B, self.num_heliostats, 3)
+            normals = base + normals
         if self.normalize_output:
             normals = normalize(normals)
         return normals, new_carry

@@ -75,6 +75,13 @@ class TrainConfig:
     # conv quantization. Mirrors precision="default" here vs FieldConfig's
     # "highest": trainer = production defaults, core models = parity.
     encoder_gelu: str = "tanh"
+    # Opt-in residual head: the policy predicts a zero-initialized delta on
+    # the ideal normals carried in aux, starting exactly aligned (see
+    # models/policy.py PolicyNet.residual_head). Breaks the N=500 alignment
+    # plateau (the binding constraint on flux learning at config-4 scale —
+    # results/RESULTS.md flux-boundary section) by making the
+    # alignment-pretrain phase unnecessary. False = reference head.
+    residual_head: bool = False
     lstm_hid: int = 128
     transformer_layers: int = 2
     transformer_heads: int = 8
@@ -417,6 +424,7 @@ def train_and_eval(
         encoder_stride=cfg.encoder_stride,
         encoder_gelu_approximate=cfg.encoder_gelu == "tanh",
         action_space=cfg.action_space,
+        residual_head=cfg.residual_head,
     )
     # Init on a batch-1 dummy: parameter shapes are batch-independent, and
     # initializing at the real batch eagerly allocates the full CNN
@@ -680,6 +688,7 @@ def train_and_eval(
             writer.add_scalar("loss/mse", mse_f, step_i)
             writer.add_scalar("loss/dist", dist_f, step_i)
             writer.add_scalar("loss/bound", bound_f, step_i)
+            writer.add_scalar("loss/alignment", align_f, step_i)
             writer.add_scalar("hyperparams/lr", lr, step_i)
             writer.add_scalar("gradients/global_norm", gnorm_f, step_i)
             if chosen_f >= 0:
