@@ -147,6 +147,13 @@ class PolicyNet(nn.Module):
     # is stop-gradient'ed (it is observation data, like the reference's
     # detached inputs, train_with_env.py:193).
     residual_head: bool = False
+    # Zero-initialize the final Dense WITHOUT adding the aux base — for
+    # policies whose rollout already supplies the base (the TTT rollout
+    # accumulates normalize(Δ + prev_normals)): the first predicted delta
+    # is then exactly zero and the rollout starts at the env's
+    # init_actions instead of O(1) net noise ≈ 1300 mrad off at N=500.
+    # Implied by residual_head.
+    zero_init_head: bool = False
 
     # Submodule attribute names intentionally match the auto-generated names
     # of the original ``nn.compact`` formulation (``<ClassName>_<i>``) so the
@@ -197,7 +204,7 @@ class PolicyNet(nn.Module):
             out_units,
             **(
                 {"kernel_init": nn.initializers.zeros}
-                if self.residual_head
+                if (self.residual_head or self.zero_init_head)
                 else {}
             ),
         )

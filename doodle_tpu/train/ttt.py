@@ -77,6 +77,7 @@ def ttt_rollout(
     collect_actions: bool = False,
     remat: bool = True,
     fine_init: jax.Array | None = None,
+    init_base: str = "none",
 ) -> TTTRolloutResult:
     """Run the TTT rollout. The policy should be built with
     ``normalize_output=False`` (the reference TTT net defers normalization
@@ -93,7 +94,20 @@ def ttt_rollout(
 
     hist = jnp.zeros((B, k, res, res), img.dtype).at[:, -1].set(img)
     pcarry = policy.init_carry(B)
-    prev_normals = None
+    # init_base="none" is the reference behavior: the FIRST action is
+    # normalize(delta) with no base (ref :246) — an untrained net therefore
+    # starts O(1000) mrad off at large N. "ideal" (opt-in, production; set
+    # by TTTConfig.residual_head together with the zero-init delta layer)
+    # seeds the residual accumulation with the post-reset ideal normals, so
+    # a zero-init policy's first action is exactly the aligned state.
+    if init_base == "ideal":
+        prev_normals = jax.lax.stop_gradient(
+            state.ideal_normals.reshape(B, scene.num_heliostats, 3)
+        )
+    elif init_base == "none":
+        prev_normals = None
+    else:
+        raise ValueError(f"unknown init_base {init_base!r}")
 
     # --- TTC state (persistent across timesteps, ref :274-283)
     fine_opt = optax.adam(fine_lr)
@@ -346,6 +360,14 @@ def ttt_train_and_eval(
             "ttt_train_and_eval supports action_space='normals' only; "
             "use train_and_eval for the angular action space"
         )
+    # residual_head in the TTT trainer maps to zero_init_head: the TTT
+    # rollout already accumulates residual actions on top of the previous
+    # step's normals (normalize(Δ + prev), ref
+    # train_with_env_com_trunc_advantage_ttt.py:241-270), so the aux-base
+    # add would double-apply — but zero-initializing the delta layer keeps
+    # the same "start aligned" property: the first rollout action equals
+    # the env's init_actions (ideal + noise) instead of O(1) net noise
+    # (≈1300 mrad off at N=500; measured, results/RESULTS.md).
 
     if scene is None:
         scene = make_ttt_geometry(
@@ -415,7 +437,13 @@ def ttt_train_and_eval(
         encoder_stride=cfg.encoder_stride,
         encoder_gelu_approximate=cfg.encoder_gelu == "tanh",
         normalize_output=False,     # rollout renormalizes (ref :162)
+        zero_init_head=getattr(cfg, "residual_head", False),
     )
+    # With the zero-init delta the rollout must also seed the residual
+    # accumulation at the ideal normals (the reference's first step is
+    # normalize(delta) with no base, ref :246 — degenerate for a zero
+    # delta and ~1500 mrad off for an untrained one at N=500).
+    init_base = "ideal" if getattr(cfg, "residual_head", False) else "none"
     # Batch-1 init: parameter shapes are batch-independent, and a full-batch
     # init eagerly allocates the CNN activations (OOM at large B·res).
     dummy_img = jnp.zeros((1, cfg.k, cfg.resolution, cfg.resolution))
@@ -453,6 +481,7 @@ def ttt_train_and_eval(
                     fine_from_t0=cfg.fine_from_t0,
                     fine_init_eps=cfg.fine_init_eps,
                     deterministic=False,
+                    init_base=init_base,
                 )
             )(states, keys)
             parts = jax.tree.map(jnp.mean, results.losses)
@@ -497,6 +526,7 @@ def ttt_train_and_eval(
             test_time=True,
             deterministic=True,
             collect_imgs=collect,
+            init_base=init_base,
         )
         return res.losses, res.mse_over_t, res.imgs_over_t, res.monitor
 
@@ -515,6 +545,7 @@ def ttt_train_and_eval(
             fine_init_eps=cfg.fine_init_eps,
             test_time=True,
             deterministic=True,
+            init_base=init_base,
         )
         return res.losses, res.mse_over_t
 

@@ -218,3 +218,47 @@ def test_ttt_profile_trace(tmp_path):
     )
     ttt_train_and_eval(cfg)
     assert any(p.is_file() for p in prof.rglob("*")), "no trace written"
+
+
+def test_ttt_residual_head_maps_to_zero_init(tiny):
+    """In the TTT trainer --residual_head means zero_init_head: the delta
+    layer starts at zero (the rollout's own residual accumulation supplies
+    the base), so the first action is exactly the env's init_actions."""
+    policy = PolicyNet(
+        num_heliostats=5, enc_dim=16, lstm_hid=16, architecture="lstm",
+        dropout=0.0, normalize_output=False, zero_init_head=True,
+    )
+    img = jax.random.uniform(jax.random.PRNGKey(3), (3, 2, 16, 16))
+    aux = jax.random.normal(jax.random.PRNGKey(4), (3, 3 + 15))
+    params = policy.init(jax.random.PRNGKey(1), img, aux,
+                         policy.init_carry(3))
+    delta, _ = policy.apply(params, img, aux, policy.init_carry(3))
+    np.testing.assert_array_equal(np.asarray(delta), 0.0)
+
+    # With init_base="ideal" the first rollout action is exactly the ideal
+    # normals (zero delta + ideal base, renormalized = ideal).
+    pos = np.stack(
+        [np.linspace(-10, 10, 5), np.full(5, 80.0), np.zeros(5)], axis=1
+    )
+    scene = make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
+    ecfg = env_lib.EnvConfig(
+        resolution=16, batch_size=3, sigma_scale=0.1, error_scale_mrad=30.0
+    )
+    st = env_lib.init_state(scene, ecfg, jax.random.PRNGKey(0))
+    res = ttt_rollout(policy, params, scene, ecfg, st, jax.random.PRNGKey(5),
+                      k=2, T=2, init_base="ideal", collect_actions=True)
+    first = np.asarray(res.actions_over_t[0])
+    ideal = np.asarray(res.env_state.ideal_normals).reshape(3, 5, 3)
+    np.testing.assert_allclose(first, ideal, atol=1e-6)
+
+    # And the trainer accepts the flag end-to-end.
+    cfg = TTTConfig(
+        num_heliostats=5, batch_size=3, num_batches=2, steps=2, T=2, k=2,
+        resolution=16, sigma_scale=0.1, error_scale_mrad=30.0,
+        alignment_pretrain_steps=0, warmup_steps=0, residual_head=True,
+        lr=1e-3, grad_clip=1.0, scheduler="none", eval_every=2,
+        log_every=100, test_size=3, dropout=0.0,
+        truncate_every=2, fine_enabled="none", extra_steps=1,
+    )
+    best = ttt_train_and_eval(cfg)
+    assert best is not None and np.isfinite(best)
