@@ -33,6 +33,7 @@ def main(argv=None):
     p.add_argument("--fine_steps_per_t", type=int, default=20)
     p.add_argument("--fine_lr", type=float, default=3e-4)
     p.add_argument("--sigma_scale", type=float, default=0.01)
+    p.add_argument("--error_scale_mrad", type=float, default=90.0)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -43,7 +44,7 @@ def main(argv=None):
     scene = make_scene(pos, [0.0, -5.0, 0.0], [0.0, 1.0, 0.0])
     cfg = env_lib.EnvConfig(
         resolution=args.resolution, batch_size=args.batch_size,
-        sigma_scale=args.sigma_scale, error_scale_mrad=90.0,
+        sigma_scale=args.sigma_scale, error_scale_mrad=args.error_scale_mrad,
     )
     state = env_lib.init_state(scene, cfg, k_env)
 
