@@ -1,4 +1,12 @@
-"""A/B: config-4 train-step time, erf GELU (current) vs tanh-approx."""
+"""A/B: config-4 train-step time, erf GELU vs tanh-approx.
+
+Run from the repo root (``python scripts/gelu_ab.py``) on a quiet TPU.
+This is the probe behind the 1548.6 → 843.1 ms/step finding in
+results/RESULTS.md ("erf-GELU regression"); the shipped resolution is the
+``TrainConfig.encoder_gelu`` knob (production default "tanh", parity
+default erf at the model level). The monkeypatch below predates that knob
+and is kept verbatim so the measurement stays reproducible.
+"""
 import time
 import numpy as np
 import bench

@@ -1,3 +1,10 @@
+"""Short end-to-end train smoke on the current backend (TPU when available).
+
+Run from the repo root: ``timeout 900 python scripts/verify_train.py``.
+30 quickstart-geometry steps through the full train_and_eval path;
+asserts a finite best-test-mse. This is the verify-skill drive for
+trainer changes, kept in-repo so it is not re-invented each time.
+"""
 import time, numpy as np, jax
 from doodle_tpu.train import TrainConfig, train_and_eval
 
