@@ -7,8 +7,11 @@ results/RESULTS.md ("erf-GELU regression"); the shipped resolution is the
 default erf at the model level). The monkeypatch below predates that knob
 and is kept verbatim so the measurement stays reproducible.
 """
+import sys
 import time
 import numpy as np
+
+sys.path.insert(0, ".")  # run from the repo root (CLAUDE.md)
 import bench
 
 t0=time.time()
