@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import pathlib
+import re
 import sys
 import time
 
@@ -127,7 +128,12 @@ def main():
             print(f"{name}: {dt*1e3:.1f} ms/step "
                   f"({time.time()-t0:.0f}s incl. compile)", flush=True)
         except Exception as e:  # OOM on no_remat is an expected outcome
-            out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            # First line only, ANSI escapes stripped: the axon compile
+            # helper embeds color codes + its URL in the message, which
+            # otherwise ends up verbatim in the checked-in JSON artifact.
+            first = re.sub(r"\x1b\[[0-9;]*m", "", str(e)).splitlines()
+            out[f"{name}_error"] = (
+                f"{type(e).__name__}: {first[0] if first else ''}"[:200])
             print(f"{name}: FAILED {type(e).__name__} "
                   f"({time.time()-t0:.0f}s)", flush=True)
 

@@ -5,6 +5,9 @@ Run from the repo root: ``timeout 900 python scripts/verify_train.py``.
 asserts a finite best-test-mse. This is the verify-skill drive for
 trainer changes, kept in-repo so it is not re-invented each time.
 """
+import sys
+sys.path.insert(0, ".")  # runnable as `python scripts/verify_train.py` from the repo root
+
 import time, numpy as np, jax
 from doodle_tpu.train import TrainConfig, train_and_eval
 
