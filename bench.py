@@ -47,6 +47,11 @@ import numpy as np
 #   N=500, 256², B=4 (OOM-safe) → 0.118 env-steps/s
 TORCH_CPU_BASELINE = {"n50": 41.5, "n500": 0.118}
 
+# Measured bf16 MXU ceiling on this chip (BASELINE.md roofline: 4096³
+# matmul, ≈94% of the 197 TF spec). The MFU denominators below use the
+# MEASURED number so the percentage is checkable arithmetic on one chip.
+MEASURED_MXU_BF16_TFLOPS = 184.3
+
 
 def _setup(num_heliostats, resolution, batch_size, use_error_mask,
            splat_backend="auto"):
@@ -166,7 +171,7 @@ LOSS_PRESETS = {
 def bench_train_rate(num_heliostats, resolution, batch_size, k, T,
                      use_error_mask, encoder_dtype=None,
                      reps_small=2, reps_large=8, splat_backend="auto",
-                     loss_preset="full"):
+                     loss_preset="full", remat_save="none"):
     """Optimizer-steps/s of the fused single-chip train step (VERDICT r1 #7).
 
     One train step = rollout(T env steps, policy fwd) + backward + adam
@@ -211,6 +216,7 @@ def bench_train_rate(num_heliostats, resolution, batch_size, k, T,
             res = rollout(
                 policy, p, scene, cfg, state, key_t, k=k, T=T,
                 deterministic=False, remat=True, encode_once=True,
+                remat_save=remat_save,
             )
             parts = res.losses
             terms = jnp.stack([
@@ -240,7 +246,22 @@ def bench_train_rate(num_heliostats, resolution, batch_size, k, T,
         t[reps] = _timed_fetch(run, params, opt_state, keys, tries=4)
     dt = max((t[reps_large] - t[reps_small]) / (reps_large - reps_small),
              1e-9)
-    return 1.0 / dt, dt
+
+    # Per-step FLOPs from XLA's own cost model, so BENCH history tracks
+    # *efficiency* (achieved TFLOP/s, % of the measured MXU ceiling), not
+    # just wall-clock (VERDICT r3 item 8). Counts executed FLOPs — i.e.
+    # remat recompute is included, like the roofline's component numbers.
+    flops_per_step = None
+    try:
+        keys = jax.random.split(jax.random.PRNGKey(4), reps_small)
+        ca = run.lower(params, opt_state, keys).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        if ca and ca.get("flops", 0) > 0:
+            flops_per_step = float(ca["flops"]) / reps_small
+    except Exception:
+        pass                        # cost model unavailable on this backend
+    return 1.0 / dt, dt, flops_per_step
 
 
 # (name, budget_s, kwargs): budget guards against a cold XLA cache — each
@@ -290,12 +311,20 @@ def collect_train_metrics(t_start, plan=None, runner=None, now=None):
             )
             continue
         try:
-            rate, dt = runner(**kwargs)
+            out = runner(**kwargs)
         except Exception as e:  # keep the primary metric alive
             metrics[f"{name}_skipped"] = f"error: {type(e).__name__}: {e}"
             continue
+        rate, dt = out[0], out[1]
+        flops = out[2] if len(out) > 2 else None
         metrics[f"{name}_steps_per_s"] = round(rate, 2)
         metrics[f"{name}_step_ms"] = round(dt * 1e3, 1)
+        if flops:
+            tf = flops * rate / 1e12
+            metrics[f"{name}_tflops_per_s"] = round(tf, 1)
+            metrics[f"{name}_mfu_pct"] = round(
+                100.0 * tf / MEASURED_MXU_BF16_TFLOPS, 1
+            )
     return metrics
 
 

@@ -9,6 +9,7 @@ explicit dropout PRNG keys.
 
 from .com import center_of_mass_2d
 from .encoders import CNNEncoder, COMEncoder
+from .init import torch_default_init
 from .policy import PolicyNet, initial_carry
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "COMEncoder",
     "PolicyNet",
     "initial_carry",
+    "torch_default_init",
 ]

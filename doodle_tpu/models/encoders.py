@@ -15,10 +15,55 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
+from ..ops.conv5x5 import conv5x5
 from .com import center_of_mass_2d
 
 __all__ = ["CNNEncoder", "COMEncoder"]
+
+
+class _MXUConv(nn.Module):
+    """``nn.Conv``-compatible 5×5 SAME conv whose *gradients* are lowered
+    as MXU matmuls (``ops/conv5x5.py``): forward-identical
+    ``lax.conv_general_dilated``, dgrad as a flipped forward conv, wgrad as
+    im2col patch-matmuls — the backward is where XLA's own lowering runs
+    ~2.5× below forward efficiency at config-4 shapes (BASELINE.md).
+
+    Param tree (``kernel`` HWIO + ``bias``, lecun-normal/zeros inits) and
+    dtype promotion match ``nn.Conv`` exactly; call sites instantiate with
+    ``name="Conv_<i>"`` so checkpoints and goldens are byte-compatible.
+    Non-unit strides (the opt-in ``stride=2`` production knob) keep XLA's
+    autodiff — the custom lowerings are derived for stride 1.
+    """
+
+    features: int
+    strides: tuple[int, int] = (1, 1)
+    dtype: object = None            # jnp dtype or None (promote like flax)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (5, 5, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        if self.strides == (1, 1):
+            y = conv5x5(x, kernel)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, window_strides=self.strides,
+                padding=((2, 2), (2, 2)),
+                dimension_numbers=jax.lax.conv_dimension_numbers(
+                    x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+                ),
+            )
+        return y + bias
 
 
 class CNNEncoder(nn.Module):
@@ -64,7 +109,14 @@ class CNNEncoder(nn.Module):
             x = x.astype(dtype)
         for i, feat in enumerate(self.features):
             s = self.stride if i == 0 else 1
-            x = nn.Conv(feat, (5, 5), strides=(s, s), padding=2, dtype=dtype)(x)
+            x = _MXUConv(
+                feat, strides=(s, s), dtype=dtype, name=f"Conv_{i}"
+            )(x)
+            # Named for selective rematerialization: with
+            # rollout(remat_save="conv_last"/"convs") the backward keeps
+            # these conv outputs resident instead of re-running the convs
+            # — the recompute is then elementwise-only (GELU/dropout).
+            x = checkpoint_name(x, f"conv{i}_out")
             x = nn.gelu(x, approximate=self.gelu_approximate)
             x = nn.Dropout(self.dropout, broadcast_dims=(1, 2))(
                 x, deterministic=deterministic

@@ -84,6 +84,19 @@ TUNE = {
         "image_block": 8,
         "vmem_budget": 12 * 2**20,
         "vmem_limit_bytes": None,
+        # Fast-mode (bf16) forward structure — the r4 co-issue work
+        # (VERDICT r3 item 2; measured A/B in scripts/splat_pipeline_ab.py):
+        # * mxu_args: build the exp2 ARGUMENTS on the MXU as a K=3 matmul
+        #   ([px,−r,−qx]·[g;g²;1]) instead of broadcast FMAs on the VPU —
+        #   the VPU keeps only the hardware exp2, ~3× less vector work at
+        #   the cost of ~1 extra MXU pass per output tile.
+        # * pipeline: flatten the (image-block, chunk) grid to 1-D and
+        #   double-buffer bf16 tables in scratch: step s builds chunk s's
+        #   tables while the MXU contracts chunk s−1's — explicit
+        #   cross-grid-step software pipelining (incl. across image-block
+        #   boundaries, i.e. two image blocks in flight). Implies mxu_args.
+        "mxu_args": True,
+        "pipeline": True,
     },
     "bwd": {
         "chunk": 128,
@@ -233,6 +246,101 @@ def _splat_kernel_fast(px_ref, qx_ref, py_ref, qy_ref, r_ref, gx_ref, gy_ref,
         out_ref[:, :, :] = out_ref[:, :, :] + tile
 
 
+def _mxu_args_tables(px, qx, py, qy, r, gx3, gy3):
+    """Shared arg-matmul + exp2 table build for the mxu_args kernels.
+
+    ``argx = px·g − (r·g² + qx)`` evaluated as one K=3 matmul per table:
+    lhs rows ``[px, −r, −qx]`` (stacked in-VMEM — 3·bs·Nc elements, noise
+    next to the exp2 sweep), rhs ``G = [g; g²; 1]``. The VPU's per-element
+    work drops from 2 broadcast-FMAs + exp2 to exp2 alone; the arg FMAs
+    ride the MXU. FP summation order inside the argument differs from the
+    FMA chain (f32 dot) — sub-1e-6 on the argument, invisible under this
+    mode's bf16 factor quantization. Ray classes ride the coefficients as
+    before (invalid → all-zero ⇒ exp2(0)=1; padding → −qx=−1e30 ⇒ fx=0).
+    """
+    bs, nc = px.shape
+    res = gx3.shape[-1]
+    lhsx = jnp.stack([px, -r, -qx], axis=-1).reshape(bs * nc, 3)
+    lhsy = jnp.stack([py, -r, -qy], axis=-1).reshape(bs * nc, 3)
+    argx = jax.lax.dot_general(
+        lhsx, gx3, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    argy = jax.lax.dot_general(
+        lhsy, gy3, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (jnp.exp2(argx).reshape(bs, nc, res),
+            jnp.exp2(argy).reshape(bs, nc, res))
+
+
+def _splat_kernel_mxu(px_ref, qx_ref, py_ref, qy_ref, r_ref, gx3_ref,
+                      gy3_ref, out_ref):
+    """Fast-mode forward with MXU-built arguments (TUNE["fwd"]["mxu_args"])
+    on the standard (image-block, chunk) grid."""
+    chunk = pl.program_id(1)
+    fx, fy = _mxu_args_tables(
+        px_ref[0, 0], qx_ref[0, 0], py_ref[0, 0], qy_ref[0, 0], r_ref[0, 0],
+        gx3_ref[...], gy3_ref[...],
+    )
+    tile = jax.lax.dot_general(
+        fx, fy, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+    @pl.when(chunk == 0)
+    def _():
+        out_ref[:, :, :] = tile
+
+    @pl.when(chunk > 0)
+    def _():
+        out_ref[:, :, :] = out_ref[:, :, :] + tile
+
+
+def _splat_kernel_mxu_pipe(px_ref, qx_ref, py_ref, qy_ref, r_ref, gx3_ref,
+                           gy3_ref, out_ref, fxb, fyb, *, n_chunks):
+    """Pipelined ``_splat_kernel_mxu`` over a 1-D grid of
+    ``n_blocks·n_chunks + 1`` steps: step ``s`` builds flat-chunk ``s``'s
+    bf16 tables into scratch slot ``s % 2`` (MXU K=3 args + VPU exp2)
+    while the main MXU dot contracts chunk ``s−1``'s tables from the other
+    slot — explicit cross-grid-step software pipelining; the build and the
+    previous chunk's contraction share no data, so Mosaic can co-issue
+    them. The +1 step is the drain (dot only). Because the grid is
+    flattened over (image-block, chunk), the overlap also crosses
+    image-block boundaries — two image blocks in flight."""
+    s = pl.program_id(0)
+    total = pl.num_programs(0) - 1     # number of build steps
+
+    @pl.when(s < total)
+    def _build():
+        fx, fy = _mxu_args_tables(
+            px_ref[0, 0], qx_ref[0, 0], py_ref[0, 0], qy_ref[0, 0],
+            r_ref[0, 0], gx3_ref[...], gy3_ref[...],
+        )
+        slot = jax.lax.rem(s, 2)
+        fxb[slot] = fx.astype(jnp.bfloat16)
+        fyb[slot] = fy.astype(jnp.bfloat16)
+
+    @pl.when(s > 0)
+    def _contract():
+        slot = jax.lax.rem(s - 1, 2)
+        tile = jax.lax.dot_general(
+            fxb[slot], fyb[slot], (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        pos = jax.lax.rem(s - 1, n_chunks)
+
+        @pl.when(pos == 0)
+        def _():
+            out_ref[:, :, :] = tile
+
+        @pl.when(pos > 0)
+        def _():
+            out_ref[:, :, :] = out_ref[:, :, :] + tile
+
+
 def _compiler_params(tune):
     limit = tune["vmem_limit_bytes"]
     if limit is None:
@@ -308,6 +416,57 @@ def _splat_pallas_fwd_impl(
         ]
         kernel = functools.partial(_splat_kernel, use_bf16=False)
 
+    mxu = use_bf16 and (tune.get("mxu_args") or tune.get("pipeline"))
+    pipe = use_bf16 and tune.get("pipeline")
+    if mxu:
+        ones = jnp.ones_like(gx)
+        gtail = [jnp.stack([gx, gx * gx, ones]),
+                 jnp.stack([gy, gy * gy, ones])]
+        grows = 3
+        kernel = _splat_kernel_mxu
+    else:
+        gtail = [gx[None, :], gy[None, :]]
+        grows = 1
+
+    cost = pl.CostEstimate(
+        flops=2 * Bp * Np * res * res,
+        bytes_accessed=Bp * Np * len(inputs) * 4 + Bp * res * res * 4,
+        transcendentals=2 * Bp * Np * res,
+    )
+    interpret = jax.default_backend() == "cpu"
+    out_shape = jax.ShapeDtypeStruct((Bp, res, res), jnp.float32)
+
+    if pipe:
+        total = n_blocks * n_chunks       # build steps; +1 drain step
+        bstep = lambda s: jnp.minimum(s, total - 1)
+        scalar_spec = pl.BlockSpec(
+            (1, 1, bs, chunk),
+            lambda s: (bstep(s) // n_chunks, bstep(s) % n_chunks, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        gspec = pl.BlockSpec((grows, res), lambda s: (0, 0),
+                             memory_space=pltpu.VMEM)
+        limit = tune["vmem_limit_bytes"] or 64 * 2**20
+        out = pl.pallas_call(
+            functools.partial(_splat_kernel_mxu_pipe, n_chunks=n_chunks),
+            grid=(total + 1,),
+            in_specs=[scalar_spec] * len(inputs) + [gspec, gspec],
+            out_specs=pl.BlockSpec(
+                (bs, res, res),
+                lambda s: (jnp.maximum(s - 1, 0) // n_chunks, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((2, bs, chunk, res), jnp.bfloat16),
+                pltpu.VMEM((2, bs, chunk, res), jnp.bfloat16),
+            ],
+            cost_estimate=cost,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
+            interpret=interpret,
+        )(*inputs, *gtail)
+        return out[:B]
+
     row = lambda i, j: (i, j, 0, 0)  # block index over (image-block, chunk) grid
     scalar_spec = pl.BlockSpec(
         (1, 1, bs, chunk), row, memory_space=pltpu.VMEM
@@ -316,22 +475,20 @@ def _splat_pallas_fwd_impl(
         kernel,
         grid=(n_blocks, n_chunks),
         in_specs=[scalar_spec] * len(inputs) + [
-            pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, res), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((grows, res), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grows, res), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bs, res, res), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((Bp, res, res), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Bp * Np * res * res,
-            bytes_accessed=Bp * Np * len(inputs) * 4 + Bp * res * res * 4,
-            transcendentals=2 * Bp * Np * res,
-        ),
+        out_shape=out_shape,
+        cost_estimate=cost,
         compiler_params=_compiler_params(tune),
         # CPU (tests/virtual meshes) runs the kernel in interpreter mode.
-        interpret=jax.default_backend() == "cpu",
-    )(*inputs, gx[None, :], gy[None, :])
+        interpret=interpret,
+    )(*inputs, *gtail)
     return out[:B]
 
 

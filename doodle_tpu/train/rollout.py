@@ -68,6 +68,7 @@ def rollout(
     remat: bool = True,
     encode_once: bool = True,
     unroll: int | bool = 1,
+    remat_save: str = "none",
 ) -> RolloutResult:
     """Reset the env, run T policy/env steps, return the loss dict.
 
@@ -181,7 +182,30 @@ def rollout(
         )
 
     step_keys = jax.random.split(k_drop, T)
-    body = jax.checkpoint(scan_step) if remat else scan_step
+    body = scan_step
+    if remat:
+        # remat_save picks which named intermediates survive the
+        # checkpoint (models/encoders.py tags conv outputs): "none" =
+        # recompute everything (min memory, +1 full conv fwd per step in
+        # the backward); "conv_last" = keep the widest conv's output
+        # (skips the 80%-of-FLOPs conv3 recompute for ~res²·C_last bf16
+        # bytes/frame); "convs" = keep all three (backward recompute is
+        # elementwise-only). The classic remat dial, exposed because the
+        # conv recompute is ~16% of the config-4 train step.
+        if remat_save == "none":
+            pol = None
+        elif remat_save == "conv_last":
+            pol = jax.checkpoint_policies.save_only_these_names("conv2_out")
+        elif remat_save == "convs":
+            pol = jax.checkpoint_policies.save_only_these_names(
+                "conv0_out", "conv1_out", "conv2_out"
+            )
+        else:
+            raise ValueError(
+                f"remat_save must be none|conv_last|convs, got {remat_save!r}"
+            )
+        body = (jax.checkpoint(scan_step, policy=pol) if pol is not None
+                else jax.checkpoint(scan_step))
     (hist, _, mean_losses, final_img, monitor), (mse_over_t, last_losses) = (
         jax.lax.scan(
             body,

@@ -144,6 +144,17 @@ class TrainConfig:
     optimizer: str = "adamp"
     smooth_width: float = 0.01
     smooth_samples: int = 5
+    # Parameter-init distributions. "flax" = flax defaults (lecun-normal
+    # kernels, zero biases). "torch" = torch module defaults (Linear/Conv
+    # kernel AND bias ~ U(±1/√fan_in), LSTM ~ U(±1/√hidden)) — the
+    # distributions the reference policy actually starts from
+    # (train_with_env.py:39-55,58-166, implicit in the torch modules), and
+    # the named setting of the 5-seed learning-curve parity rule: the flax
+    # start is "colder" and costs an ~15-step early transient (83% vs 99%
+    # not-worse — results/RESULTS.md). Under residual_head/zero_init_head
+    # the zero-initialized output layer is left untouched (its
+    # start-exactly-aligned contract needs exact zeros).
+    param_init: str = "flax"
     # Reference quirk (behavior, not bug): the loss schedule is frozen to
     # "alignment always" by an `if True:` (train_with_env.py:346-356).
     # True reproduces the frozen behavior; False enables the documented
@@ -169,6 +180,13 @@ class TrainConfig:
     # backward is ~60× slower than the unrolled equivalent), keep the
     # compact scan on accelerators. Int/True to force.
     scan_unroll: int | None = None
+    # Selective rematerialization: which named encoder intermediates the
+    # rollout checkpoint KEEPS instead of recomputing in the backward
+    # (train/rollout.py). "none" = classic full remat (min memory).
+    # "conv_last" keeps conv3's output — skips the 80%-of-FLOPs conv
+    # recompute for ~res²·128·2 bytes/frame of HBM. "convs" keeps all
+    # three (backward recompute is elementwise-only) — biggest memory.
+    remat_save: str = "none"
     precision: str = "default"
     # Splat backend for all envs: "auto" picks the fused Pallas kernel for
     # large fields and the XLA separable path below (see FieldConfig).
@@ -293,6 +311,27 @@ def _loss_weights(cfg: TrainConfig, global_i: int, last_bound: float) -> np.ndar
     return np.array(
         [0.0, 0.0, cfg.mse_f * (1.0 - decay + 1e-5), cfg.dist_f * decay],
         np.float32,
+    )
+
+
+def _apply_param_init(cfg: "TrainConfig", params, key):
+    """Apply ``cfg.param_init`` to freshly initialized policy params.
+
+    "torch" resamples with the reference's implicit torch-module defaults
+    (models/init.py); the zero-initialized output layer of
+    residual_head/zero_init_head policies is excluded — its
+    start-exactly-aligned contract requires exact zeros."""
+    if cfg.param_init == "flax":
+        return params
+    if cfg.param_init != "torch":
+        raise ValueError(
+            f"param_init must be 'flax' or 'torch', got {cfg.param_init!r}"
+        )
+    from ..models.init import torch_default_init
+
+    exclude = ("Dense_1",) if cfg.residual_head else ()
+    return torch_default_init(
+        params, jax.random.fold_in(key, 0x70726368), exclude=exclude
     )
 
 
@@ -435,6 +474,7 @@ def train_and_eval(
     params = policy.init(
         k_policy, dummy_img, dummy_aux, policy.init_carry(1)
     )
+    params = _apply_param_init(cfg, params, k_policy)
     if init_transform is not None:
         params = init_transform(params)
 
@@ -503,6 +543,7 @@ def train_and_eval(
                     k=cfg.k, T=cfg.T,
                     use_mean=cfg.use_mean, deterministic=False,
                     encode_once=cfg.encode_once, unroll=unroll,
+                    remat_save=cfg.remat_save,
                 )
             )(states, keys)
             parts = jax.tree.map(jnp.mean, results.losses)   # mean over envs
@@ -718,10 +759,10 @@ def train_and_eval(
 
         if step_i % cfg.eval_every == 0 or step_i == cfg.steps - 1:
             test = eval_step(p_params, test_state, k_eval)
-            test_mse, test_bound, test_align = (
+            test_mse, test_bound, test_align, test_dist = (
                 float(v) for v in np.asarray(jnp.stack([
                     test.losses["mse"], test.losses["bound"],
-                    test.losses["alignment_loss"],
+                    test.losses["alignment_loss"], test.losses["dist"],
                 ]))
             )
             last_mse = test_mse
@@ -734,6 +775,7 @@ def train_and_eval(
             if writer is not None:
                 writer.add_scalar("mse/test", test_mse, step_i)
                 writer.add_scalar("bound/test", test_bound, step_i)
+                writer.add_scalar("dist/test", test_dist, step_i)
                 if hasattr(writer, "add_images"):
                     imgs = np.asarray(results.final_img[0])[:, None]
                     rng_ = max(

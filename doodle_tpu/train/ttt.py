@@ -70,6 +70,14 @@ def ttt_rollout(
     fine_steps_per_t: int = 10,
     fine_lr: float = 1e-4,
     fine_init_eps: float = 1e-4,
+    # TTC inner objective weights: loss = fine_mse_w·mse + fine_dist_w·dist.
+    # (0, 1) = the reference's dist-only objective
+    # (train_with_env_com_trunc_advantage_ttt.py:292). The held-out metric
+    # is MSE, so the r4 TTC-gap sweep (VERDICT r3 item 4) exposes the
+    # blend; floats or traced scalars both work (traced ⇒ one compile
+    # serves a whole weight sweep).
+    fine_mse_w=0.0,
+    fine_dist_w=1.0,
     freeze_policy_during_fine: bool = True,
     test_time: bool = False,
     deterministic: bool = True,
@@ -192,7 +200,8 @@ def ttt_rollout(
             def fine_objective(fv):
                 candidate = normalize(base_for_fine + fv)
                 _, inner_losses, _ = env_step(scene, cfg, state, candidate)
-                return inner_losses["dist"]
+                return (fine_mse_w * inner_losses["mse"]
+                        + fine_dist_w * inner_losses["dist"])
 
             def fine_inner(carry, _):
                 fv, os = carry
@@ -268,6 +277,10 @@ class TTTConfig(TrainConfig):
     fine_steps_per_t: int = 10
     fine_enabled: str = "test"      # none | test | always
     fine_lr: float = 1e-4
+    # TTC inner-objective blend (fine_mse_w·mse + fine_dist_w·dist);
+    # (0, 1) = the reference's dist-only fine loss (ref ttt :292).
+    fine_mse_w: float = 0.0
+    fine_dist_w: float = 1.0
     fine_adjustment_start_t: int = 6
     fine_from_t0: bool = False
     fine_init_eps: float = 1e-4
@@ -451,6 +464,8 @@ def ttt_train_and_eval(
     params = policy.init(
         k_policy, dummy_img, dummy_aux, policy.init_carry(1)
     )
+    from .trainer import _apply_param_init
+    params = _apply_param_init(cfg, params, k_policy)
 
     def make_opt(learning_rate):
         return optax.chain(
@@ -480,6 +495,8 @@ def ttt_train_and_eval(
                     fine_adjustment_start_t=cfg.fine_adjustment_start_t,
                     fine_from_t0=cfg.fine_from_t0,
                     fine_init_eps=cfg.fine_init_eps,
+                    fine_mse_w=cfg.fine_mse_w,
+                    fine_dist_w=cfg.fine_dist_w,
                     deterministic=False,
                     init_base=init_base,
                 )
@@ -523,6 +540,8 @@ def ttt_train_and_eval(
             fine_adjustment_start_t=cfg.fine_adjustment_start_t,
             fine_from_t0=cfg.fine_from_t0,
             fine_init_eps=cfg.fine_init_eps,
+            fine_mse_w=cfg.fine_mse_w,
+            fine_dist_w=cfg.fine_dist_w,
             test_time=True,
             deterministic=True,
             collect_imgs=collect,
@@ -543,6 +562,8 @@ def ttt_train_and_eval(
             fine_adjustment_start_t=cfg.fine_adjustment_start_t,
             fine_from_t0=cfg.fine_from_t0,
             fine_init_eps=cfg.fine_init_eps,
+            fine_mse_w=cfg.fine_mse_w,
+            fine_dist_w=cfg.fine_dist_w,
             test_time=True,
             deterministic=True,
             init_base=init_base,

@@ -141,44 +141,6 @@ def run_reference(args, seed: int, pos_np: np.ndarray) -> list[float]:
     return curve
 
 
-def torchify_init(params, seed: int):
-    """Re-sample a flax param tree with torch's default init distributions
-    (Linear/Conv: kernel & bias ~ U(±1/√fan_in); LSTM: U(±1/√hidden)).
-
-    Attribution experiment for the early-transient band miss: flax inits
-    (lecun-normal kernels, ZERO biases) start the policy 'colder' than
-    torch's nonzero-uniform ones. --torch_init isolates whether the first
-    ~15 steps' lag is an init-distribution artifact or a dynamics bug.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(seed + 12345)
-
-    def resample(path, leaf):
-        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        name = names[-1] if names else ""
-        parent = names[-3] if len(names) >= 3 else ""
-        if parent.startswith("OptimizedLSTMCell"):
-            bound = 1.0 / np.sqrt(leaf.shape[-1])
-        elif name == "kernel":
-            fan_in = int(np.prod(leaf.shape[:-1]))
-            bound = 1.0 / np.sqrt(fan_in)
-        elif name == "bias" and len(names) >= 2 and "Dense" in names[-2]:
-            # torch Linear bias: U(±1/√fan_in) of the sibling kernel; the
-            # head fan-ins here are 128-256, bound ~0.06-0.09
-            bound = 1.0 / np.sqrt(max(leaf.shape[-1], 8))
-        elif "LayerNorm" in (names[-2] if len(names) >= 2 else ""):
-            return leaf     # scale=1, bias=0 in both frameworks
-        else:
-            bound = 1.0 / np.sqrt(max(leaf.shape[-1], 8))
-        return jnp.asarray(
-            rng.uniform(-bound, bound, leaf.shape).astype(np.float32)
-        )
-
-    return jax.tree_util.tree_map_with_path(resample, params)
-
-
 def run_doodle(args, seed: int, pos_np: np.ndarray) -> list[float]:
     """Per-step alignment curve from doodle_tpu on the same geometry."""
     from doodle_tpu.core.scene import make_scene
@@ -208,14 +170,15 @@ def run_doodle(args, seed: int, pos_np: np.ndarray) -> list[float]:
         architecture="lstm",
         lstm_hid=32,
         seed=seed,
+        # The packaged torch-default init option (models/init.py) — the
+        # named setting of the re-registered r4 parity rule, replacing the
+        # r3 script-local numpy transform.
+        param_init="torch" if args.torch_init else "flax",
     )
     curve = []
     train_and_eval(
         cfg, scene=scene,
         progress_cb=lambda i, m: curve.append(m["loss"] / cfg.alignment_f),
-        init_transform=(
-            (lambda p: torchify_init(p, seed)) if args.torch_init else None
-        ),
     )
     print(f"  [doodle seed={seed}] {curve[0]:.1f} -> {curve[-1]:.1f} mrad")
     return curve[: args.steps]
@@ -395,8 +358,9 @@ def main(argv=None):
     run_ref = run_reference_ttt if args.ttt else run_reference
     run_doo = run_doodle_ttt if args.ttt else run_doodle
     stem = "parity_curves_ttt" if args.ttt else "parity_curves"
-    if args.torch_init:
-        stem += "_torchinit"
+    # --torch_init is a first-class setting since r4 (the re-registered
+    # rule names TrainConfig.param_init="torch"); the artifact keeps the
+    # registered name, with the setting recorded in the payload config.
 
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

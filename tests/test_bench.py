@@ -41,15 +41,18 @@ def test_bench_dispatch_rate_runs():
 
 
 def test_bench_train_rate_runs():
-    rate, dt = bench.bench_train_rate(
+    rate, dt, flops = bench.bench_train_rate(
         5, 32, 2, k=2, T=2, use_error_mask=False,
         reps_small=1, reps_large=3, splat_backend="xla",
     )
     assert rate > 0 and dt > 0
+    # XLA:CPU exposes the cost model, so the per-step FLOP count should be
+    # present and per-step (independent of the rep count).
+    assert flops is None or flops > 0
 
 
 def test_bench_train_rate_frozen_preset_runs():
-    rate, dt = bench.bench_train_rate(
+    rate, dt, flops = bench.bench_train_rate(
         5, 32, 2, k=2, T=2, use_error_mask=False,
         reps_small=1, reps_large=3, splat_backend="xla",
         loss_preset="frozen",
@@ -78,6 +81,23 @@ def test_train_metrics_contract_never_silently_drops_keys():
     assert "budget" in m["b_skipped"]
     assert "boom" in m["c_skipped"]
     assert "full" in m["train_loss_presets"]
+
+
+def test_train_metrics_mfu_keys_when_flops_available():
+    """3-tuple runners (rate, dt, flops/step) yield achieved-TFLOP/s and
+    %-of-measured-MXU-ceiling keys (VERDICT r3 item 8); 2-tuple runners
+    stay valid with no MFU keys."""
+    plan = [("a", 100, dict())]
+    m = bench.collect_train_metrics(
+        t_start=0.0, plan=plan,
+        runner=lambda: (2.0, 0.5, 46.075e12), now=lambda: 1.0,
+    )
+    assert m["a_tflops_per_s"] == 92.2   # 46.075e12 * 2 / 1e12
+    assert m["a_mfu_pct"] == 50.0        # vs the measured 184.3 ceiling
+    m2 = bench.collect_train_metrics(
+        t_start=0.0, plan=plan, runner=lambda: (2.0, 0.5), now=lambda: 1.0,
+    )
+    assert "a_mfu_pct" not in m2 and m2["a_steps_per_s"] == 2.0
     assert "frozen" in m["train_loss_presets"]
     for name, _, _ in plan:
         assert (f"{name}_steps_per_s" in m) or (f"{name}_skipped" in m)

@@ -106,6 +106,29 @@ def test_ttt_fine_adjustment_reduces_dist(tiny):
     assert float(fine.losses["dist"]) < float(base.losses["dist"])
 
 
+def test_ttt_fine_objective_blend(tiny):
+    """fine_mse_w/fine_dist_w steer the TTC inner objective: pure-mse
+    weights must lower final MSE vs the dist-only reference default, and
+    the (0,1) default reproduces the unweighted dist-only fine loss
+    exactly (also pinned by the torch TTC golden)."""
+    scene, cfg, state, policy, params = tiny
+    key = jax.random.PRNGKey(4)
+    kw = dict(k=2, T=3, enable_fine=True, fine_from_t0=True,
+              fine_steps_per_t=25, fine_lr=3e-3, test_time=True)
+    ref = ttt_rollout(policy, params, scene, cfg, state, key, **kw)
+    default = ttt_rollout(policy, params, scene, cfg, state, key, **kw,
+                          fine_mse_w=0.0, fine_dist_w=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(ref.fine_vec), np.asarray(default.fine_vec)
+    )
+    # Traced weights work too (one compile serves a whole weight sweep).
+    mse_only = ttt_rollout(
+        policy, params, scene, cfg, state, key, **kw,
+        fine_mse_w=jnp.float32(1.0), fine_dist_w=jnp.float32(0.0),
+    )
+    assert float(mse_only.losses["mse"]) < float(ref.losses["mse"])
+
+
 def test_ttt_test_time_blocks_policy_gradients(tiny):
     scene, cfg, state, policy, params = tiny
 
