@@ -274,11 +274,11 @@ TRAIN_PLAN = [
     ("train_config4", 1500,
      dict(num_heliostats=500, resolution=256, batch_size=64, k=2, T=4,
           use_error_mask=True, encoder_dtype="bfloat16",
-          loss_preset="full")),
+          loss_preset="full", remat_save="convs")),
     ("train_config4_frozen", 1900,
      dict(num_heliostats=500, resolution=256, batch_size=64, k=2, T=4,
           use_error_mask=True, encoder_dtype="bfloat16",
-          loss_preset="frozen")),
+          loss_preset="frozen", remat_save="convs")),
 ]
 
 

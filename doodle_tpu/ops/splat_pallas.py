@@ -84,19 +84,25 @@ TUNE = {
         "image_block": 8,
         "vmem_budget": 12 * 2**20,
         "vmem_limit_bytes": None,
-        # Fast-mode (bf16) forward structure — the r4 co-issue work
-        # (VERDICT r3 item 2; measured A/B in scripts/splat_pipeline_ab.py):
+        # Fast-mode (bf16) forward structure — the r4 co-issue attempts
+        # (VERDICT r3 item 2), BOTH measured slower-or-equal and left off
+        # (kernel-level A/B at config 4, one session, 2026-08-20:
+        # base 0.2387 / mxu 0.2531 / mxu+pipe 0.2701 / fma+pipe 0.2458 ms
+        # — results/splat_pipeline_ab.json has the env-step view):
         # * mxu_args: build the exp2 ARGUMENTS on the MXU as a K=3 matmul
-        #   ([px,−r,−qx]·[g;g²;1]) instead of broadcast FMAs on the VPU —
-        #   the VPU keeps only the hardware exp2, ~3× less vector work at
-        #   the cost of ~1 extra MXU pass per output tile.
-        # * pipeline: flatten the (image-block, chunk) grid to 1-D and
-        #   double-buffer bf16 tables in scratch: step s builds chunk s's
-        #   tables while the MXU contracts chunk s−1's — explicit
-        #   cross-grid-step software pipelining (incl. across image-block
-        #   boundaries, i.e. two image blocks in flight). Implies mxu_args.
-        "mxu_args": True,
-        "pipeline": True,
+        #   ([px,−r,−qx]·[g;g²;1]) — the VPU keeps only exp2, but the arg
+        #   matmuls' M×N tile passes cost MORE MXU time than the VPU FMAs
+        #   they replace (K=3 pads to a full 128-deep pass): +6%.
+        # * pipeline: 1-D flattened grid + double-buffered bf16 table
+        #   scratch — step s's build is data-independent of step s−1's
+        #   contraction by construction, yet measures 1.00-1.03× of the
+        #   serial kernel with either build: Mosaic issues grid steps
+        #   serially and extracts <3% cross-iteration VPU/MXU overlap
+        #   (same bound r2's within-step sub-chunking found). The 0.239 ms
+        #   forward is the measured floor of this design family across
+        #   five structured attempts; see BASELINE.md.
+        "mxu_args": False,
+        "pipeline": False,
     },
     "bwd": {
         "chunk": 128,
@@ -298,8 +304,26 @@ def _splat_kernel_mxu(px_ref, qx_ref, py_ref, qy_ref, r_ref, gx3_ref,
         out_ref[:, :, :] = out_ref[:, :, :] + tile
 
 
+def _fma_tables(px, qx, py, qy, r, gx3, gy3):
+    """The original broadcast-FMA table build (``_splat_kernel_fast``'s
+    arithmetic), reading g and g² from the [3, res] G inputs. Pure VPU —
+    the build the pipelined kernel can overlap with the MXU contraction
+    (the mxu_args build cannot: its arg matmuls queue on the same MXU as
+    the main dot, which is why pipe+mxu_args measured 1.00× of mxu alone,
+    results/splat_pipeline_ab.json)."""
+    gx, gx2 = gx3[0], gx3[1]
+    gy, gy2 = gy3[0], gy3[1]
+    rr = r[..., None]
+    argx = px[..., None] * gx[None, None, :] - (
+        rr * gx2[None, None, :] + qx[..., None])
+    argy = py[..., None] * gy[None, None, :] - (
+        rr * gy2[None, None, :] + qy[..., None])
+    return jnp.exp2(argx), jnp.exp2(argy)
+
+
 def _splat_kernel_mxu_pipe(px_ref, qx_ref, py_ref, qy_ref, r_ref, gx3_ref,
-                           gy3_ref, out_ref, fxb, fyb, *, n_chunks):
+                           gy3_ref, out_ref, fxb, fyb, *, n_chunks,
+                           use_mxu_args=True):
     """Pipelined ``_splat_kernel_mxu`` over a 1-D grid of
     ``n_blocks·n_chunks + 1`` steps: step ``s`` builds flat-chunk ``s``'s
     bf16 tables into scratch slot ``s % 2`` (MXU K=3 args + VPU exp2)
@@ -314,7 +338,8 @@ def _splat_kernel_mxu_pipe(px_ref, qx_ref, py_ref, qy_ref, r_ref, gx3_ref,
 
     @pl.when(s < total)
     def _build():
-        fx, fy = _mxu_args_tables(
+        build = _mxu_args_tables if use_mxu_args else _fma_tables
+        fx, fy = build(
             px_ref[0, 0], qx_ref[0, 0], py_ref[0, 0], qy_ref[0, 0],
             r_ref[0, 0], gx3_ref[...], gy3_ref[...],
         )
@@ -448,7 +473,10 @@ def _splat_pallas_fwd_impl(
                              memory_space=pltpu.VMEM)
         limit = tune["vmem_limit_bytes"] or 64 * 2**20
         out = pl.pallas_call(
-            functools.partial(_splat_kernel_mxu_pipe, n_chunks=n_chunks),
+            functools.partial(
+                _splat_kernel_mxu_pipe, n_chunks=n_chunks,
+                use_mxu_args=bool(tune.get("mxu_args")),
+            ),
             grid=(total + 1,),
             in_specs=[scalar_spec] * len(inputs) + [gspec, gspec],
             out_specs=pl.BlockSpec(

@@ -63,6 +63,7 @@ def make_sharded_train_step(
     encode_once: bool = True,
     impl: str = "shard_map",
     unroll: int | None = None,
+    remat_save: str = "none",
 ) -> Callable:
     """Build ``step(params, opt_state, env_state, key, weights) →
     (params, opt_state, env_state, loss, parts)`` jitted over the mesh.
@@ -112,6 +113,7 @@ def make_sharded_train_step(
                     k=k, T=T, use_mean=use_mean,
                     deterministic=deterministic, remat=remat,
                     encode_once=encode_once, unroll=unroll,
+                    remat_save=remat_save,
                 )
                 return total_loss(res.losses, weights), (
                     res.losses, res.env_state,
@@ -156,6 +158,7 @@ def make_sharded_train_step(
                 k=k, T=T, use_mean=use_mean,
                 deterministic=deterministic, remat=remat,
                 encode_once=encode_once, unroll=unroll,
+                remat_save=remat_save,
             )
             return total_loss(res.losses, weights), (
                 res.losses, res.env_state,

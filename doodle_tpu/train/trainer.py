@@ -182,11 +182,13 @@ class TrainConfig:
     scan_unroll: int | None = None
     # Selective rematerialization: which named encoder intermediates the
     # rollout checkpoint KEEPS instead of recomputing in the backward
-    # (train/rollout.py). "none" = classic full remat (min memory).
-    # "conv_last" keeps conv3's output — skips the 80%-of-FLOPs conv
-    # recompute for ~res²·128·2 bytes/frame of HBM. "convs" keeps all
-    # three (backward recompute is elementwise-only) — biggest memory.
-    remat_save: str = "none"
+    # (train/rollout.py). "convs" (default) keeps all three conv outputs —
+    # the backward recompute is elementwise-only, measured 448.6 → 398.9
+    # ms on the config-4 train step (results/conv_train_ab.json) at
+    # ~B·(T+1)·res²·224·2 bytes of HBM (~9.4 GB at config-4 B=64 — fits
+    # the 16 GB v5e). Drop to "conv_last" or "none" (classic full remat,
+    # minimum memory) if a bigger batch/resolution OOMs.
+    remat_save: str = "convs"
     precision: str = "default"
     # Splat backend for all envs: "auto" picks the fused Pallas kernel for
     # large fields and the XLA separable path below (see FieldConfig).

@@ -31,6 +31,9 @@ SHAPE = dict(num_heliostats=500, resolution=256, batch_size=64, k=2, T=4,
              loss_preset="full")
 
 VARIANTS = {
+    # r3-equivalent: bypass the custom vjp entirely (plain conv + XLA
+    # autodiff), to attribute the baseline shift.
+    "r3_autodiff": (dict(fwd="xla", dgrad="flip", wgrad="xla"), "none"),
     "baseline": (dict(fwd="xla", dgrad="flip", wgrad="xla"), "none"),
     "conv_last": (dict(fwd="xla", dgrad="flip", wgrad="xla"), "conv_last"),
     "convs": (dict(fwd="xla", dgrad="flip", wgrad="xla"), "convs"),
@@ -45,6 +48,11 @@ def main():
     for name, (tune, remat_save) in VARIANTS.items():
         if name in out and "step_ms" in out[name]:
             continue
+        import doodle_tpu.models.encoders as enc_mod
+        if name == "r3_autodiff":
+            enc_mod.conv5x5 = c5._conv          # plain XLA autodiff
+        else:
+            enc_mod.conv5x5 = c5.conv5x5
         c5.TUNE.update(tune)
         t0 = time.time()
         try:

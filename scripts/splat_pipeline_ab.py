@@ -31,6 +31,9 @@ VARIANTS = {
     "base": dict(mxu_args=False, pipeline=False),
     "mxu": dict(mxu_args=True, pipeline=False),
     "pipe": dict(mxu_args=True, pipeline=True),
+    # VPU-FMA build + cross-step pipeline: the build the MXU dot can
+    # actually overlap (the mxu_args build queues on the MXU itself).
+    "pipe_fma": dict(mxu_args=False, pipeline=True),
 }
 
 CONFIGS = {

@@ -164,3 +164,22 @@ def test_fast_path_invalid_ray_exact_ones():
         precision="default",
     ))
     np.testing.assert_array_equal(img, np.ones((1, 16, 16), np.float32))
+
+
+@pytest.mark.parametrize("mxu_args,pipeline", [(True, False), (True, True),
+                                               (False, True)])
+def test_fast_variant_kernels_match_base(mxu_args, pipeline, monkeypatch):
+    """The r4 co-issue experiment kernels (MXU-built args, cross-step
+    double-buffered pipeline — kept in-tree as measured negative results,
+    BASELINE.md "Splat co-issue attempts") must stay numerically
+    interchangeable with the shipped base kernel."""
+    from doodle_tpu.ops import splat_pallas as sp
+
+    inter, origins, po, pu, pv, valid, res = _mk(B=3, N=140, res=32, seed=3)
+    args = (inter, origins, po, pu, pv, 15.0, 15.0, res, 0.05, valid)
+    base = np.asarray(splat_summed_pallas(*args, precision="default"))
+    monkeypatch.setitem(sp.TUNE["fwd"], "mxu_args", mxu_args)
+    monkeypatch.setitem(sp.TUNE["fwd"], "pipeline", pipeline)
+    var = np.asarray(splat_summed_pallas(*args, precision="default"))
+    rel = np.abs(var - base).max() / max(base.max(), 1e-9)
+    assert rel < 2e-3, rel
