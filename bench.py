@@ -268,14 +268,14 @@ def bench_train_rate(num_heliostats, resolution, batch_size, k, T,
 # train program is a multi-minute compile via the remote axon helper, and
 # the primary metric must still print in the driver window.
 TRAIN_PLAN = [
-    ("train_quickstart", 900,
+    ("train_quickstart", 1200,
      dict(num_heliostats=50, resolution=128, batch_size=25, k=4, T=4,
           use_error_mask=False, loss_preset="full")),
-    ("train_config4", 1500,
+    ("train_config4", 2400,
      dict(num_heliostats=500, resolution=256, batch_size=64, k=2, T=4,
           use_error_mask=True, encoder_dtype="bfloat16",
           loss_preset="full", remat_save="convs")),
-    ("train_config4_frozen", 1900,
+    ("train_config4_frozen", 3200,
      dict(num_heliostats=500, resolution=256, batch_size=64, k=2, T=4,
           use_error_mask=True, encoder_dtype="bfloat16",
           loss_preset="frozen", remat_save="convs")),
