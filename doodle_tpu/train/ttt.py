@@ -84,6 +84,7 @@ def ttt_rollout(
     collect_imgs: bool = False,
     collect_actions: bool = False,
     remat: bool = True,
+    remat_save: str = "none",
     fine_init: jax.Array | None = None,
     init_base: str = "none",
 ) -> TTTRolloutResult:
@@ -152,7 +153,30 @@ def ttt_rollout(
         return out, new_carry
 
     if remat:
-        policy_step = jax.checkpoint(policy_step)
+        # Same selective-remat dial as train/rollout.py: keep the named
+        # conv outputs (models/encoders.py checkpoint_name tags) so the
+        # backward's recompute is elementwise-only. Measured 448.6 →
+        # 398.9 ms on the standard config-4 train step
+        # (results/conv_train_ab.json); the TTT policy_step is the same
+        # encoder under the same checkpoint.
+        if remat_save == "none":
+            policy_step = jax.checkpoint(policy_step)
+        elif remat_save == "conv_last":
+            policy_step = jax.checkpoint(
+                policy_step,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv2_out"),
+            )
+        elif remat_save == "convs":
+            policy_step = jax.checkpoint(
+                policy_step,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv0_out", "conv1_out", "conv2_out"),
+            )
+        else:
+            raise ValueError(
+                f"remat_save must be none|conv_last|convs, got {remat_save!r}"
+            )
 
     env_step = env_lib.step
     if remat:
@@ -497,6 +521,7 @@ def ttt_train_and_eval(
                     fine_init_eps=cfg.fine_init_eps,
                     fine_mse_w=cfg.fine_mse_w,
                     fine_dist_w=cfg.fine_dist_w,
+                    remat_save=cfg.remat_save,
                     deterministic=False,
                     init_base=init_base,
                 )
