@@ -25,6 +25,14 @@ from ._common import (
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     add_dataclass_args(p, TTTConfig)
+    p.add_argument(
+        "--ttc_recipe", type=str, default="none",
+        choices=["none", "delivery"],
+        help="'delivery' applies the measured TTC production recipe "
+        "(train.ttt.TTC_DELIVERY_RECIPE: fine_steps_per_t=60, "
+        "extra_steps=8, fine_lr=1e-3, MSE inner objective) over the "
+        "reference defaults.",
+    )
     p.add_argument("--logdir", type=str, default=None)
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--metrics_out", type=str, default=None)
@@ -38,6 +46,10 @@ def main(argv=None) -> float:
     apply_platform(args)
     apply_multihost(args)
     cfg = config_from_args(args, TTTConfig)
+    if args.ttc_recipe == "delivery":
+        from ..train.ttt import apply_ttc_delivery_recipe
+
+        cfg = apply_ttc_delivery_recipe(cfg)
 
     import jax
 

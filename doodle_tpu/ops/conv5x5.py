@@ -1,12 +1,12 @@
 """MXU-matmul gradients for the reference CNN's 5×5 stride-1 convs.
 
-The config-4 train step is 99.8% CNN encoder, and 83% of it is the conv
-backward running at ~2.5× lower MXU efficiency than the forward
-(BASELINE.md "Where the config-4 train step's 843 ms goes"). The forward
-(`lax.conv_general_dilated`) reaches 93% of the measured MXU ceiling —
-XLA's *gradient* lowerings for this shape are what's slow. This module
-keeps the forward untouched and swaps only the backward, via
-``jax.custom_vjp``:
+The config-4 train step is 99.8% CNN encoder (BASELINE.md "Where the
+config-4 train step's 843 ms goes"). XLA's *isolated* conv gradients are
+near their N-limited MXU ceilings — the measured deficit is how its
+autodiff graph embeds in the remat'd training scan (9.0 TF/s vs
+16.9 TF/s for this module's lowering at identical FLOPs; BASELINE.md
+"Conv-gradient lowering study"). This module keeps the forward untouched
+and swaps only the backward, via ``jax.custom_vjp``:
 
 * **dgrad** (``∂/∂x``): for stride-1 SAME odd kernels, ``dx`` is exactly a
   *forward* conv of the cotangent with the rot-180, in/out-swapped kernel
@@ -49,12 +49,14 @@ __all__ = ["conv5x5", "TUNE"]
 
 # Backend per gradient pass; values measured/picked by
 # scripts/conv_grad_probe.py on a v5e (see results/conv_grad_probe.json).
-# wgrad "auto" = the Pallas VMEM-im2col kernel (conv5x5_pallas.py) on
-# accelerators, "patch" on CPU (interpret-mode Pallas is only for parity
-# tests; the XLA patch scan is the fast host path).
+# The shipped wgrad default is "xla" (XLA's own transpose), with one
+# measured exception hardwired in _bwd: at Cin=1 the strip-scan "patch"
+# matmul is 1.4× faster, so that case dispatches to "patch" regardless of
+# this setting. Unknown values fall through to "xla" in _bwd.
 TUNE = {
     "fwd": "xla",        # "xla" | "pallas" (in-VMEM im2col matmul)
     "dgrad": "flip",     # "flip" (XLA conv of dy w/ rot180 kernel) | "xla"
+    #                    | "s2d" (space-to-depth: N = 4·Cin, see _dgrad_s2d)
     #                    | "pallas" (im2col matmul of the flipped conv)
     "wgrad": "xla",      # "xla" | "pallas" | "patch" | "tap"
     "wgrad_strip": 16,   # rows per patch-matmul strip ("patch" only)
@@ -79,6 +81,53 @@ def _dgrad_flip(dy, w):
     # stride-1 SAME (odd kernel, symmetric padding).
     wf = w[::-1, ::-1].transpose(0, 1, 3, 2)
     return _conv(dy, wf)
+
+
+def _dgrad_s2d(dy, w):
+    """dgrad with the MXU N-axis widened 4× by space-to-depth.
+
+    The plain flip-conv dgrad's matmul output width is N = Cin (32/64 at
+    the reference encoder's L2/L3) — a 25/50% utilization ceiling on the
+    128-lane MXU (results/conv_grad_probe.json reading 2). Folding a 2×2
+    spatial block into channels turns the 5×5 stride-1 conv into a 3×3
+    VALID conv over [H/2+2, W/2+2, 4·Cout] with a [3, 3, 4·Cout, 4·Cin]
+    kernel: N = 4·Cin fills the array, at 9·16/25 = 1.44× the FLOPs
+    (the 36-tap phase kernel zero-pads the 25 real taps). Exact — the
+    phase kernel is a gather of the rot-180 kernel, and invalid taps land
+    in the zero padding.
+
+    Derivation: dx[2i+py, 2j+px] = Σ_{u,v} dyp[2i+py+u, 2j+px+v]·wf[u,v]
+    with dyp = dy zero-padded by 2. Writing py+u = 2·da + qy gives
+    u = 2·da + qy − py with da ∈ {0,1,2} (3 coarse taps), so
+    dx_phase(py,px)[i,j] = Σ_{da,db,qy,qx} Z[i+da, j+db, qy,qx,:] ·
+    wf[2da+qy−py, 2db+qx−px, :, ci], where Z is the space-to-depth of
+    dyp. All four output phases fuse into one conv with 4·Cin output
+    channels, un-done by depth-to-space. Requires even H, W.
+    """
+    F, H, W, cout = dy.shape
+    cin = w.shape[2]
+    wf = w[::-1, ::-1].transpose(0, 1, 3, 2)        # [5,5,Cout,Cin]
+    # u = 2·da + qy − py ∈ [−1, 5]; indexing the (1,1)-padded kernel at
+    # u+1 ∈ [0, 6] makes the two out-of-range taps read zeros.
+    wfp = jnp.pad(wf, ((1, 1), (1, 1), (0, 0), (0, 0)))   # [7,7,Cout,Cin]
+    da = jnp.arange(3)[:, None, None]
+    q = jnp.arange(2)[None, :, None]
+    p = jnp.arange(2)[None, None, :]
+    U = 2 * da + q - p + 1                                # [3,2,2]
+    K = wfp[U[:, None, :, None, :, None], U[None, :, None, :, None, :]]
+    # [da,db,qy,qx,py,px,Cout,Cin] → [da,db,(qy,qx,Cout),(py,px,Cin)]
+    K = K.transpose(0, 1, 2, 3, 6, 4, 5, 7).reshape(3, 3, 4 * cout, 4 * cin)
+
+    dyp = jnp.pad(dy, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    Hc, Wc = H // 2, W // 2
+    Z = dyp.reshape(F, Hc + 2, 2, Wc + 2, 2, cout)
+    Z = Z.transpose(0, 1, 3, 2, 4, 5).reshape(F, Hc + 2, Wc + 2, 4 * cout)
+    out = jax.lax.conv_general_dilated(
+        Z, K, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=_dn(),
+    )                                                    # [F, Hc, Wc, 4Cin]
+    dx = out.reshape(F, Hc, Wc, 2, 2, cin)
+    return dx.transpose(0, 1, 3, 2, 4, 5).reshape(F, H, W, cin)
 
 
 def _dgrad_xla(dy, w, x_shape):
@@ -165,7 +214,9 @@ def _bwd(res, dy):
 
         wf = w[::-1, ::-1].transpose(0, 1, 3, 2)
         dx = conv5x5_fwd_pallas(dy, wf)
-    elif dgrad == "flip":
+    elif dgrad == "s2d" and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        dx = _dgrad_s2d(dy, w)
+    elif dgrad in ("flip", "s2d"):   # s2d needs even H, W; fall back
         dx = _dgrad_flip(dy, w)
     else:
         dx = _dgrad_xla(dy, w, x.shape)

@@ -112,8 +112,21 @@ def _pad_input(x):
 def _pick_strip(H):
     strip = TUNE["strip"]
     if H % strip or strip % _HALO:
-        strip = next(s for s in range(min(strip, H), _HALO - 1, -_HALO)
-                     if H % s == 0)
+        # Candidates must be multiples of _HALO that divide H: the halo
+        # BlockSpec index map advances in units of strip//_HALO halo
+        # blocks, so a non-8-aligned strip (e.g. H=12 → strip 12) would
+        # silently read the wrong halo rows.
+        start = (min(strip, H) // _HALO) * _HALO
+        strip = next(
+            (s for s in range(start, _HALO - 1, -_HALO) if H % s == 0),
+            None,
+        )
+        if strip is None:
+            raise ValueError(
+                f"conv5x5 Pallas backends need H divisible by an 8-aligned "
+                f"strip; H={H} has none (use the XLA backend)"
+            )
+    assert strip % _HALO == 0 and H % strip == 0
     return strip
 
 

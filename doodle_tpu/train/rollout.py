@@ -192,14 +192,25 @@ def rollout(
         # bytes/frame); "convs" = keep all three (backward recompute is
         # elementwise-only). The classic remat dial, exposed because the
         # conv recompute is ~16% of the config-4 train step.
+        # Tag names derived from the encoder's configured depth (the tags
+        # are emitted per-conv by CNNEncoder as f"conv{i}_out") so a
+        # different feature tuple can't silently desynchronize the policy
+        # from the tags. The CoM encoder has no convs — nothing to save.
+        from ..models.encoders import CNNEncoder
+
+        n_convs = (
+            len(CNNEncoder.features)
+            if getattr(policy, "encoder", "cnn") == "cnn" else 0
+        )
+        conv_names = [f"conv{i}_out" for i in range(n_convs)]
         if remat_save == "none":
             pol = None
         elif remat_save == "conv_last":
-            pol = jax.checkpoint_policies.save_only_these_names("conv2_out")
-        elif remat_save == "convs":
             pol = jax.checkpoint_policies.save_only_these_names(
-                "conv0_out", "conv1_out", "conv2_out"
+                *conv_names[-1:]
             )
+        elif remat_save == "convs":
+            pol = jax.checkpoint_policies.save_only_these_names(*conv_names)
         else:
             raise ValueError(
                 f"remat_save must be none|conv_last|convs, got {remat_save!r}"

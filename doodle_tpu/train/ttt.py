@@ -38,7 +38,10 @@ from ..env import env as env_lib
 from ..models.policy import PolicyNet
 from ..ops.optics import normalize
 
-__all__ = ["TTTRolloutResult", "ttt_rollout", "TTTConfig", "ttt_train_and_eval"]
+__all__ = [
+    "TTTRolloutResult", "ttt_rollout", "TTTConfig", "ttt_train_and_eval",
+    "TTC_DELIVERY_RECIPE", "apply_ttc_delivery_recipe",
+]
 
 
 class TTTRolloutResult(NamedTuple):
@@ -69,6 +72,13 @@ def ttt_rollout(
     fine_from_t0: bool = False,
     fine_steps_per_t: int = 10,
     fine_lr: float = 1e-4,
+    # Reference TTC inner-optimizer kwargs (ref :184-185): weight_decay is
+    # torch-Adam L2 (added to the raw gradient before the moment updates,
+    # ref :284), grad_clip is a global-norm clip of the raw gradient
+    # before the step (ref :309-310). Defaults (0.0 / None) reproduce the
+    # reference defaults — plain Adam.
+    fine_weight_decay: float = 0.0,
+    fine_grad_clip: float | None = None,
     fine_init_eps: float = 1e-4,
     # TTC inner objective weights: loss = fine_mse_w·mse + fine_dist_w·dist.
     # (0, 1) = the reference's dist-only objective
@@ -119,7 +129,16 @@ def ttt_rollout(
         raise ValueError(f"unknown init_base {init_base!r}")
 
     # --- TTC state (persistent across timesteps, ref :274-283)
-    fine_opt = optax.adam(fine_lr)
+    # Chain order matches the reference: clip the raw gradient
+    # (clip_grad_norm_ before opt.step(), ref :309-310), then add the
+    # L2 term wd·θ (inside torch Adam, ref :284), then the Adam moments.
+    fine_opt = optax.chain(
+        *([optax.clip_by_global_norm(fine_grad_clip)]
+          if fine_grad_clip is not None else []),
+        *([optax.add_decayed_weights(fine_weight_decay)]
+          if fine_weight_decay else []),
+        optax.adam(fine_lr),
+    )
     fine_vec = None
     fine_opt_state = None
     start_t = 0 if (enable_fine and fine_from_t0) else fine_adjustment_start_t
@@ -230,7 +249,7 @@ def ttt_rollout(
             def fine_inner(carry, _):
                 fv, os = carry
                 g = jax.grad(fine_objective)(fv)
-                updates, os = fine_opt.update(g, os)
+                updates, os = fine_opt.update(g, os, fv)
                 return (optax.apply_updates(fv, updates), os), None
 
             (fine_vec, fine_opt_state), _ = jax.lax.scan(
@@ -301,6 +320,10 @@ class TTTConfig(TrainConfig):
     fine_steps_per_t: int = 10
     fine_enabled: str = "test"      # none | test | always
     fine_lr: float = 1e-4
+    # Reference TTC inner-optimizer kwargs (ref ttt :184-185,284,309-310);
+    # the defaults reproduce the reference defaults (plain Adam).
+    fine_weight_decay: float = 0.0
+    fine_grad_clip: float | None = None
     # TTC inner-objective blend (fine_mse_w·mse + fine_dist_w·dist);
     # (0, 1) = the reference's dist-only fine loss (ref ttt :292).
     fine_mse_w: float = 0.0
@@ -321,6 +344,29 @@ class TTTConfig(TrainConfig):
     deg_diff: float = 4.0           # sun-curriculum azimuth spacing
     max_deg_elevation: float = 18.0 # triangle-wave elevation amplitude
     discard_first: int = 2          # envs excluded from the interpolation avg
+
+
+# The measured test-time-compute delivery recipe (r4 TTC-gap sweep,
+# results/ttc_gap_sweep.json best-of-54; r5 multi-seed validation in
+# results/ttc_multiseed.json): MSE inner objective instead of the
+# reference's dist-only loss (ttt ref :292), a 60-step inner budget, and
+# fine_lr 1e-3. Apply with ``apply_ttc_delivery_recipe`` or the CLI's
+# ``--ttc_recipe delivery``. The reference defaults (spt5/lr 1e-4/dist)
+# remain TTTConfig's defaults — this preset is the opt-in production
+# setting, not the parity surface.
+TTC_DELIVERY_RECIPE = dict(
+    fine_steps_per_t=60,
+    extra_steps=8,
+    fine_lr=1e-3,
+    fine_mse_w=1.0,
+    fine_dist_w=0.0,
+    fine_enabled="test",
+)
+
+
+def apply_ttc_delivery_recipe(cfg: TTTConfig) -> TTTConfig:
+    """Return ``cfg`` with the measured TTC delivery knobs applied."""
+    return dataclasses.replace(cfg, **TTC_DELIVERY_RECIPE)
 
 
 def _curriculum_angles(cfg: TTTConfig) -> tuple[list[tuple[float, float]],
@@ -516,6 +562,8 @@ def ttt_train_and_eval(
                     enable_fine=train_fine,
                     fine_steps_per_t=cfg.fine_steps_per_t,
                     fine_lr=cfg.fine_lr,
+                    fine_weight_decay=cfg.fine_weight_decay,
+                    fine_grad_clip=cfg.fine_grad_clip,
                     fine_adjustment_start_t=cfg.fine_adjustment_start_t,
                     fine_from_t0=cfg.fine_from_t0,
                     fine_init_eps=cfg.fine_init_eps,
@@ -562,6 +610,8 @@ def ttt_train_and_eval(
             enable_fine=test_fine,
             fine_steps_per_t=cfg.fine_steps_per_t,
             fine_lr=cfg.fine_lr,
+            fine_weight_decay=cfg.fine_weight_decay,
+            fine_grad_clip=cfg.fine_grad_clip,
             fine_adjustment_start_t=cfg.fine_adjustment_start_t,
             fine_from_t0=cfg.fine_from_t0,
             fine_init_eps=cfg.fine_init_eps,
@@ -584,6 +634,8 @@ def ttt_train_and_eval(
             enable_fine=test_fine,
             fine_steps_per_t=cfg.fine_steps_per_t,
             fine_lr=cfg.fine_lr,
+            fine_weight_decay=cfg.fine_weight_decay,
+            fine_grad_clip=cfg.fine_grad_clip,
             fine_adjustment_start_t=cfg.fine_adjustment_start_t,
             fine_from_t0=cfg.fine_from_t0,
             fine_init_eps=cfg.fine_init_eps,

@@ -1,4 +1,4 @@
-"""Where the config-4 train step's ~843 ms actually goes.
+"""Where the config-4 train step's ~399 ms actually goes (r5 re-run).
 
 Counterpart of ``scripts/splat_profile_attribution.py`` one level up: the
 same ablation-decomposition idea applied to the full trainer hot program
@@ -8,24 +8,36 @@ preset — exactly ``bench.bench_train_rate``'s program, whose methodology
 this reuses verbatim: distinct inputs per rep via ``lax.scan`` over keys,
 fetch-synced completion, two-rep-count slope).
 
+r5 revision (VERDICT r4 item 1): the baseline is the SHIPPED lowering —
+custom-vjp conv gradients + ``remat_save="convs"`` (the 398.9 ms program
+of results/conv_train_ab.json); the r4-era table in git history measured
+the superseded 843 ms XLA-autodiff/full-remat program.
+
 Run from the repo root on a quiet TPU:
 
-    timeout 3000 python scripts/train_step_attribution.py
+    timeout 4500 python scripts/train_step_attribution.py
 
 Variants (each an independently compiled program):
-  * ``full``        — the bench baseline.
+  * ``full``        — the bench train_config4 program (remat_save="convs").
   * ``fwd_only``    — rollout forward + loss only, no grad/optimizer:
-                      isolates the backward (incl. remat recompute) share.
+                      isolates the backward share.
   * ``com_encoder`` — CNN encoder swapped for the (near-free) CoM encoder:
-                      isolates the CNN's total share (fwd + bwd + remat).
+                      isolates the CNN's total share (fwd + bwd).
   * ``T2``          — T=2 instead of 4: the slope vs ``full`` is the
                       marginal cost of one env step (policy+render+losses,
                       fwd+bwd); the intercept is per-train-step overhead
                       (adam, grad norm, reset, encode of the initial
-                      k-frame history).
-  * ``no_remat``    — remat off (may OOM at this shape; reported if so):
-                      isolates the recompute the checkpointing trades for
-                      HBM.
+                      k-frame history incl. its backward).
+  * ``no_dropout``  — dropout=0.0 (flax short-circuits the mask draw AND
+                      the multiply): isolates the dropout share, fwd+bwd.
+  * ``conv_frozen`` — conv kernels/biases ``stop_gradient``-ed inside the
+                      loss (frames are already detached, so XLA dead-codes
+                      the ENTIRE conv backward — dgrad and wgrad — while
+                      the conv forward, GELU/dropout and the dense/LSTM/
+                      head backward all remain): isolates conv-backward.
+  * ``remat_none``  — remat_save="none": the conv-recompute share the
+                      selective checkpoint buys back (A/B continuity with
+                      results/conv_train_ab.json).
 
 Writes ``results/train_step_attribution.json``.
 """
@@ -51,10 +63,26 @@ from doodle_tpu.train.rollout import rollout
 N, RES, B, K = 500, 256, 64, 2
 
 
-def variant_rate(T=4, grad=True, remat=True, reps=(2, 8), **policy_kw):
+def _freeze_convs(p):
+    """stop_gradient every leaf under a Conv_* module: with the input
+    frames already detached this prunes the whole conv backward from the
+    grad graph (XLA DCE), leaving conv fwd + elementwise + head backward."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(p)
+    flat = {
+        kp: (jax.lax.stop_gradient(v)
+             if any(str(k).startswith("Conv_") for k in kp) else v)
+        for kp, v in flat.items()
+    }
+    return flax.traverse_util.unflatten_dict(flat)
+
+
+def variant_rate(T=4, grad=True, remat=True, remat_save="convs",
+                 conv_frozen=False, dropout=0.1, reps=(2, 8), **policy_kw):
     scene, cfg, state = bench._setup(N, RES, B, use_error_mask=True)
     kw = dict(
-        num_heliostats=N, architecture="lstm", dropout=0.1,
+        num_heliostats=N, architecture="lstm", dropout=dropout,
         encoder_dtype="bfloat16", encoder_gelu_approximate=True,
     )
     kw.update(policy_kw)
@@ -67,9 +95,12 @@ def variant_rate(T=4, grad=True, remat=True, reps=(2, 8), **policy_kw):
     weights = jnp.array(bench.LOSS_PRESETS["full"])
 
     def loss_of(p, key_t):
+        if conv_frozen:
+            p = _freeze_convs(p)
         res = rollout(
             policy, p, scene, cfg, state, key_t, k=K, T=T,
             deterministic=False, remat=remat, encode_once=True,
+            remat_save=remat_save,
         )
         parts = res.losses
         terms = jnp.stack([
@@ -118,7 +149,9 @@ def main():
         ("fwd_only", dict(grad=False)),
         ("com_encoder", dict(encoder="com")),
         ("T2", dict(T=2)),
-        ("no_remat", dict(remat=False)),
+        ("no_dropout", dict(dropout=0.0)),
+        ("conv_frozen", dict(conv_frozen=True)),
+        ("remat_none", dict(remat_save="none")),
     ]
     for name, kw in plan:
         t0 = time.time()
@@ -147,6 +180,14 @@ def main():
             marg = (full - out["T2_ms"]) / 2.0
             out["derived_per_env_step_ms"] = round(marg, 1)
             out["derived_fixed_overhead_ms"] = round(full - 4 * marg, 1)
+        if "no_dropout_ms" in out:
+            out["derived_dropout_ms"] = round(full - out["no_dropout_ms"], 1)
+        if "conv_frozen_ms" in out:
+            out["derived_conv_backward_ms"] = round(
+                full - out["conv_frozen_ms"], 1)
+        if "remat_none_ms" in out:
+            out["derived_remat_save_gain_ms"] = round(
+                out["remat_none_ms"] - full, 1)
 
     path = pathlib.Path("results/train_step_attribution.json")
     path.write_text(json.dumps(out, indent=1))

@@ -81,6 +81,9 @@ def test_train_metrics_contract_never_silently_drops_keys():
     assert "budget" in m["b_skipped"]
     assert "boom" in m["c_skipped"]
     assert "full" in m["train_loss_presets"]
+    assert "frozen" in m["train_loss_presets"]
+    for name, _, _ in plan:
+        assert (f"{name}_steps_per_s" in m) or (f"{name}_skipped" in m)
 
 
 def test_train_metrics_mfu_keys_when_flops_available():
@@ -98,9 +101,6 @@ def test_train_metrics_mfu_keys_when_flops_available():
         t_start=0.0, plan=plan, runner=lambda: (2.0, 0.5), now=lambda: 1.0,
     )
     assert "a_mfu_pct" not in m2 and m2["a_steps_per_s"] == 2.0
-    assert "frozen" in m["train_loss_presets"]
-    for name, _, _ in plan:
-        assert (f"{name}_steps_per_s" in m) or (f"{name}_skipped" in m)
 
 
 def test_train_plan_includes_frozen_config4():

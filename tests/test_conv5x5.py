@@ -39,6 +39,7 @@ SHAPES = [
     ("xla", "flip", "patch"), ("xla", "flip", "tap"),
     ("xla", "flip", "xla"), ("xla", "flip", "pallas"),
     ("xla", "xla", "xla"), ("xla", "pallas", "xla"),
+    ("xla", "s2d", "xla"),
     ("pallas", "flip", "xla"), ("pallas", "pallas", "pallas"),
 ])
 def test_grad_parity_all_backends(B, H, W, cin, cout, fwd, dgrad, wgrad,
@@ -65,6 +66,24 @@ def test_grad_parity_all_backends(B, H, W, cin, cout, fwd, dgrad, wgrad,
     gx, gw = jax.grad(loss(c5.conv5x5), argnums=(0, 1))(x, w)
     np.testing.assert_allclose(gx, gx_ref, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(gw, gw_ref, rtol=2e-5, atol=2e-4)
+
+
+def test_dgrad_s2d_odd_shape_falls_back(monkeypatch):
+    """s2d needs even H/W; odd shapes must silently use the flip path with
+    identical gradients."""
+    monkeypatch.setitem(c5.TUNE, "dgrad", "s2d")
+    key = jax.random.PRNGKey(11)
+    kx, kw, kd = jax.random.split(key, 3)
+    x = jax.random.normal(kx, (2, 15, 17, 3))
+    w = jax.random.normal(kw, (5, 5, 3, 4)) * 0.1
+    dy = jax.random.normal(kd, (2, 15, 17, 4))
+
+    def loss(f):
+        return lambda x, w: jnp.sum(f(x, w) * dy)
+
+    gx_ref, _ = jax.grad(loss(_ref_conv), argnums=(0, 1))(x, w)
+    gx, _ = jax.grad(loss(c5.conv5x5), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(gx, gx_ref, rtol=2e-5, atol=2e-5)
 
 
 def test_bf16_grad_parity():

@@ -129,6 +129,80 @@ def test_ttt_fine_objective_blend(tiny):
     assert float(mse_only.losses["mse"]) < float(ref.losses["mse"])
 
 
+def test_ttc_delivery_recipe_pinned():
+    """The shipped TTC production recipe is exactly the r4 sweep winner
+    (results/ttc_gap_sweep.json best-of-54; validated multi-seed in
+    results/ttc_multiseed.json), reachable from the CLI."""
+    from doodle_tpu.train.ttt import (
+        TTC_DELIVERY_RECIPE,
+        apply_ttc_delivery_recipe,
+    )
+
+    assert TTC_DELIVERY_RECIPE == dict(
+        fine_steps_per_t=60, extra_steps=8, fine_lr=1e-3,
+        fine_mse_w=1.0, fine_dist_w=0.0, fine_enabled="test",
+    )
+    cfg = apply_ttc_delivery_recipe(TTTConfig())
+    assert cfg.fine_steps_per_t == 60 and cfg.extra_steps == 8
+    assert cfg.fine_lr == 1e-3
+    assert cfg.fine_mse_w == 1.0 and cfg.fine_dist_w == 0.0
+    # Reference defaults stay the parity surface (recipe is opt-in).
+    d = TTTConfig()
+    assert d.fine_steps_per_t == 10 and d.fine_lr == 1e-4
+    assert d.fine_mse_w == 0.0 and d.fine_dist_w == 1.0
+    from doodle_tpu.cli.train_ttt import build_parser
+
+    args = build_parser().parse_args(["--ttc_recipe", "delivery"])
+    assert args.ttc_recipe == "delivery"
+
+
+def test_ttt_fine_opt_knobs(tiny):
+    """fine_weight_decay / fine_grad_clip (reference TTC kwargs, ttt ref
+    :184-185,284,309-310): the defaults (0.0/None) are exactly plain Adam,
+    a non-binding clip is a no-op, a binding clip freezes the fine vector
+    near its init, and weight decay changes the trajectory."""
+    scene, cfg, state, policy, params = tiny
+    key = jax.random.PRNGKey(4)
+    kw = dict(k=2, T=3, enable_fine=True, fine_from_t0=True,
+              fine_steps_per_t=10, fine_lr=3e-3, test_time=True)
+    ref = ttt_rollout(policy, params, scene, cfg, state, key, **kw)
+    explicit_defaults = ttt_rollout(
+        policy, params, scene, cfg, state, key, **kw,
+        fine_weight_decay=0.0, fine_grad_clip=None,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.fine_vec), np.asarray(explicit_defaults.fine_vec)
+    )
+    # A clip far above the actual gradient norm never triggers → identical.
+    loose_clip = ttt_rollout(policy, params, scene, cfg, state, key, **kw,
+                             fine_grad_clip=1e9)
+    np.testing.assert_allclose(
+        np.asarray(ref.fine_vec), np.asarray(loose_clip.fine_vec),
+        rtol=1e-6, atol=1e-8,
+    )
+    # A near-zero clip freezes the inner optimization: the fine vector
+    # stays within the init range instead of moving O(fine_lr·steps).
+    tight_clip = ttt_rollout(policy, params, scene, cfg, state, key, **kw,
+                             fine_grad_clip=1e-12)
+    assert float(jnp.abs(tight_clip.fine_vec).max()) < 2e-4  # ≈ init eps
+    assert float(jnp.abs(ref.fine_vec).max()) > 1e-3
+    # Weight decay perturbs the trajectory (torch-Adam L2 on the raw grad).
+    wd = ttt_rollout(policy, params, scene, cfg, state, key, **kw,
+                     fine_weight_decay=10.0)
+    assert not np.allclose(np.asarray(ref.fine_vec), np.asarray(wd.fine_vec))
+    # Config + CLI surface carry the knobs (reference API parity).
+    from doodle_tpu.cli.train_ttt import build_parser
+
+    args = build_parser().parse_args(
+        ["--fine_weight_decay", "0.1", "--fine_grad_clip", "0.5"]
+    )
+    assert args.fine_weight_decay == 0.1 and args.fine_grad_clip == 0.5
+    assert build_parser().parse_args(
+        ["--fine_grad_clip", "none"]).fine_grad_clip is None
+    c = TTTConfig(fine_weight_decay=0.1, fine_grad_clip=0.5)
+    assert c.fine_weight_decay == 0.1 and c.fine_grad_clip == 0.5
+
+
 def test_ttt_test_time_blocks_policy_gradients(tiny):
     scene, cfg, state, policy, params = tiny
 
