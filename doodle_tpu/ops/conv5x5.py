@@ -44,6 +44,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["conv5x5", "TUNE"]
 
@@ -54,11 +55,12 @@ __all__ = ["conv5x5", "TUNE"]
 # matmul is 1.4× faster, so that case dispatches to "patch" regardless of
 # this setting. Unknown values fall through to "xla" in _bwd.
 TUNE = {
-    "fwd": "xla",        # "xla" | "pallas" (in-VMEM im2col matmul)
+    "fwd": "xla",        # "xla" | "s2d" (N = 4·Cout when Cout < 128)
+    #                    | "pallas" (in-VMEM im2col matmul)
     "dgrad": "flip",     # "flip" (XLA conv of dy w/ rot180 kernel) | "xla"
-    #                    | "s2d" (space-to-depth: N = 4·Cin, see _dgrad_s2d)
+    #                    | "s2d" (space-to-depth: N = 4·Cin, see _s2d_conv)
     #                    | "pallas" (im2col matmul of the flipped conv)
-    "wgrad": "xla",      # "xla" | "pallas" | "patch" | "tap"
+    "wgrad": "xla",      # "xla" | "s2d" | "pallas" | "patch" | "tap"
     "wgrad_strip": 16,   # rows per patch-matmul strip ("patch" only)
 }
 
@@ -83,51 +85,105 @@ def _dgrad_flip(dy, w):
     return _conv(dy, wf)
 
 
-def _dgrad_s2d(dy, w):
-    """dgrad with the MXU N-axis widened 4× by space-to-depth.
+def _s2d(x):
+    """Space-to-depth (2×2): [F, 2I, 2J, C] → [F, I, J, 4C]."""
+    F, H, W, C = x.shape
+    z = x.reshape(F, H // 2, 2, W // 2, 2, C)
+    return z.transpose(0, 1, 3, 2, 4, 5).reshape(F, H // 2, W // 2, 4 * C)
 
-    The plain flip-conv dgrad's matmul output width is N = Cin (32/64 at
-    the reference encoder's L2/L3) — a 25/50% utilization ceiling on the
-    128-lane MXU (results/conv_grad_probe.json reading 2). Folding a 2×2
-    spatial block into channels turns the 5×5 stride-1 conv into a 3×3
-    VALID conv over [H/2+2, W/2+2, 4·Cout] with a [3, 3, 4·Cout, 4·Cin]
-    kernel: N = 4·Cin fills the array, at 9·16/25 = 1.44× the FLOPs
-    (the 36-tap phase kernel zero-pads the 25 real taps). Exact — the
-    phase kernel is a gather of the rot-180 kernel, and invalid taps land
-    in the zero padding.
 
-    Derivation: dx[2i+py, 2j+px] = Σ_{u,v} dyp[2i+py+u, 2j+px+v]·wf[u,v]
-    with dyp = dy zero-padded by 2. Writing py+u = 2·da + qy gives
+def _s2d_conv(x, wk):
+    """5×5 stride-1 SAME conv with the MXU N-axis widened 4× by
+    space-to-depth. ``x``: [F, H, W, Ci] (H, W even), ``wk``:
+    [5, 5, Ci, Co] → [F, H, W, Co].
+
+    A plain conv's matmul output width is N = Co — a 25/50% utilization
+    ceiling on the 128-lane MXU when Co = 32/64 (the reference encoder's
+    dgrad and L2-forward shapes; results/conv_grad_probe.json reading 2).
+    Folding a 2×2 spatial block into channels turns the 5×5 stride-1
+    conv into a 3×3 VALID conv over [H/2+2, W/2+2, 4·Ci] with a
+    [3, 3, 4·Ci, 4·Co] phase kernel: N = 4·Co fills the array, at
+    9·16/25 = 1.44× the FLOPs (the 36-tap phase kernel zero-pads the 25
+    real taps). Exact — the phase kernel is a gather of ``wk``, and
+    invalid taps land in the zero padding.
+
+    Derivation: y[2i+py, 2j+px] = Σ_{u,v} xp[2i+py+u, 2j+px+v]·wk[u,v]
+    with xp = x zero-padded by 2. Writing py+u = 2·da + qy gives
     u = 2·da + qy − py with da ∈ {0,1,2} (3 coarse taps), so
-    dx_phase(py,px)[i,j] = Σ_{da,db,qy,qx} Z[i+da, j+db, qy,qx,:] ·
-    wf[2da+qy−py, 2db+qx−px, :, ci], where Z is the space-to-depth of
-    dyp. All four output phases fuse into one conv with 4·Cin output
-    channels, un-done by depth-to-space. Requires even H, W.
+    y_phase(py,px)[i,j] = Σ_{da,db,qy,qx} Z[i+da, j+db, qy,qx,:] ·
+    wk[2da+qy−py, 2db+qx−px, :, :], where Z is the space-to-depth of
+    xp. All four output phases fuse into one conv with 4·Co output
+    channels, un-done by depth-to-space.
     """
-    F, H, W, cout = dy.shape
-    cin = w.shape[2]
-    wf = w[::-1, ::-1].transpose(0, 1, 3, 2)        # [5,5,Cout,Cin]
+    F, H, W, ci = x.shape
+    co = wk.shape[-1]
     # u = 2·da + qy − py ∈ [−1, 5]; indexing the (1,1)-padded kernel at
     # u+1 ∈ [0, 6] makes the two out-of-range taps read zeros.
-    wfp = jnp.pad(wf, ((1, 1), (1, 1), (0, 0), (0, 0)))   # [7,7,Cout,Cin]
+    wkp = jnp.pad(wk, ((1, 1), (1, 1), (0, 0), (0, 0)))   # [7,7,Ci,Co]
     da = jnp.arange(3)[:, None, None]
     q = jnp.arange(2)[None, :, None]
     p = jnp.arange(2)[None, None, :]
     U = 2 * da + q - p + 1                                # [3,2,2]
-    K = wfp[U[:, None, :, None, :, None], U[None, :, None, :, None, :]]
-    # [da,db,qy,qx,py,px,Cout,Cin] → [da,db,(qy,qx,Cout),(py,px,Cin)]
-    K = K.transpose(0, 1, 2, 3, 6, 4, 5, 7).reshape(3, 3, 4 * cout, 4 * cin)
+    K = wkp[U[:, None, :, None, :, None], U[None, :, None, :, None, :]]
+    # [da,db,qy,qx,py,px,Ci,Co] → [da,db,(qy,qx,Ci),(py,px,Co)]
+    K = K.transpose(0, 1, 2, 3, 6, 4, 5, 7).reshape(3, 3, 4 * ci, 4 * co)
 
-    dyp = jnp.pad(dy, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
     Hc, Wc = H // 2, W // 2
-    Z = dyp.reshape(F, Hc + 2, 2, Wc + 2, 2, cout)
-    Z = Z.transpose(0, 1, 3, 2, 4, 5).reshape(F, Hc + 2, Wc + 2, 4 * cout)
+    Z = _s2d(xp)                                    # [F, Hc+2, Wc+2, 4Ci]
     out = jax.lax.conv_general_dilated(
         Z, K, window_strides=(1, 1), padding="VALID",
         dimension_numbers=_dn(),
-    )                                                    # [F, Hc, Wc, 4Cin]
-    dx = out.reshape(F, Hc, Wc, 2, 2, cin)
-    return dx.transpose(0, 1, 3, 2, 4, 5).reshape(F, H, W, cin)
+    )                                                    # [F, Hc, Wc, 4Co]
+    y = out.reshape(F, Hc, Wc, 2, 2, co)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(F, H, W, co)
+
+
+def _dgrad_s2d(dy, w):
+    """dgrad = forward conv of dy with the rot-180, in/out-swapped kernel,
+    through the s2d widening (N = 4·Cin instead of Cin)."""
+    wf = w[::-1, ::-1].transpose(0, 1, 3, 2)        # [5,5,Cout,Cin]
+    return _s2d_conv(dy, wf)
+
+
+def _wgrad_s2d(dy, x):
+    """wgrad with the MXU N-axis widened 4× by space-to-depth.
+
+    ``dw[u,v,ci,co] = Σ_{n,h,w} x[n,h+u−2,w+v−2,ci]·dy[n,h,w,co]`` — the
+    plain lowering's matmul is [25·Cin, P] @ [P, Cout]: N = Cout (32/64
+    at the encoder's L1/L2 — a 25/50% MXU ceiling; L1's M = 25 is worse
+    still). In s2d space the same contraction is the wgrad of a 3×3
+    VALID conv between Z_x = s2d(pad(x)) and Z_dy = s2d(dy): a
+    [3, 3, 4·Cin, 4·Cout] phase gradient with N = 4·Cout (and M = 36·Cin),
+    at the same 1.44× FLOP cost as the other s2d passes. The phase
+    gradient maps back exactly: each 5×5 tap (u,v) appears once per
+    output phase (py,px) at (da,qy) = ((u+py)//2, (u+py)%2), and the four
+    phase copies are the four disjoint spatial subsums of the full tap —
+    summed via a 0/1 mapping einsum (25·4·Cin·Cout adds, noise).
+    Requires even H, W. Accumulates in f32 like the other wgrad paths.
+    """
+    F, H, W, ci = x.shape
+    co = dy.shape[-1]
+    Zx = _s2d(jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0))))
+    Zdy = _s2d(dy)
+
+    def conv3(wp):
+        return jax.lax.conv_general_dilated(
+            Zx, wp, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=_dn(),
+        )
+
+    zeros = jnp.zeros((3, 3, 4 * ci, 4 * co), dy.dtype)
+    (dwp,) = jax.linear_transpose(conv3, zeros)(Zdy)
+    dwp = dwp.astype(jnp.float32).reshape(3, 3, 2, 2, ci, 2, 2, co)
+    # M[u, py, da, qy] = 1 iff u = 2·da + qy − py  (same index law as the
+    # forward phase kernel, inverted).
+    u_ = np.arange(5)[:, None, None, None]
+    p_ = np.arange(2)[None, :, None, None]
+    a_ = np.arange(3)[None, None, :, None]
+    q_ = np.arange(2)[None, None, None, :]
+    M = jnp.asarray((2 * a_ + q_ - p_ == u_).astype(np.float32))
+    return jnp.einsum("upaq,vsbr,abqrcpso->uvco", M, M, dwp)
 
 
 def _dgrad_xla(dy, w, x_shape):
@@ -192,6 +248,11 @@ def _fwd_impl(x, w):
         from .conv5x5_pallas import conv5x5_fwd_pallas
 
         return conv5x5_fwd_pallas(x, w)
+    if (TUNE["fwd"] == "s2d" and w.shape[-1] < 128
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        # Only where the N-ceiling binds (Cout < 128 lanes): at full N the
+        # 1.44× FLOP overhead is a pure loss.
+        return _s2d_conv(x, w)
     return _conv(x, w)
 
 
@@ -228,7 +289,11 @@ def _bwd(res, dy):
         # patch matrix is only 25 columns wide there, so the usual
         # HBM-traffic objection doesn't apply.
         wgrad = "patch"
-    if wgrad == "pallas":
+    if wgrad == "s2d" and not (x.shape[1] % 2 or x.shape[2] % 2):
+        dw = _wgrad_s2d(dy, x)
+    elif wgrad == "s2d":               # odd H/W: fall back
+        dw = _wgrad_xla(dy, x, w.shape)
+    elif wgrad == "pallas":
         from .conv5x5_pallas import wgrad5x5_pallas
 
         dw = wgrad5x5_pallas(dy, x)

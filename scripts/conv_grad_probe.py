@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from doodle_tpu.ops import conv5x5 as c5
 from doodle_tpu.ops.conv5x5_pallas import conv5x5_fwd_pallas, wgrad5x5_pallas
 
 F = 64          # frames per encoder call in the config-4 train step
@@ -177,6 +178,13 @@ def main():
                 conv5x5_fwd_pallas(
                     dy, w[::-1, ::-1].transpose(0, 1, 3, 2)
                 ).astype(jnp.float32))), mk_dy, ()),
+            # r5: space-to-depth family (N widened 4×; ops/conv5x5.py).
+            "fwd_s2d": (lambda xx: jnp.sum(
+                jnp.abs(c5._s2d_conv(xx, w).astype(jnp.float32))), mk_x, ()),
+            "dgrad_s2d": (lambda dy: jnp.sum(
+                jnp.abs(c5._dgrad_s2d(dy, w).astype(jnp.float32))), mk_dy, ()),
+            "wgrad_s2d": (lambda dy, xf: jnp.sum(
+                jnp.abs(c5._wgrad_s2d(dy, xf))), mk_dy, (x,)),
         }
         res = {}
         only = os.environ.get("PROBE_ONLY")  # comma-list of variant names
@@ -197,7 +205,7 @@ def main():
                 print(f"{name} {vname}: FAILED {type(e).__name__}", flush=True)
             out[name] = res
             # Incremental checkpoint: a wall-clock kill keeps partials.
-            pathlib.Path("results/conv_grad_probe.json").write_text(
+            pathlib.Path(os.environ.get("PROBE_OUT", "results/conv_grad_probe.json")).write_text(
                 json.dumps(out, indent=1) + "\n")
 
     # Numerical cross-checks (small shape, f32, CPU-friendly): the exact
@@ -213,7 +221,7 @@ def main():
     out["parity_dgrad_flip"] = float(jnp.max(jnp.abs(dx_flip - dx_ref)))
     print("parity dgrad_flip max|Δ|:", out["parity_dgrad_flip"])
 
-    pathlib.Path("results/conv_grad_probe.json").write_text(
+    pathlib.Path(os.environ.get("PROBE_OUT", "results/conv_grad_probe.json")).write_text(
         json.dumps(out, indent=1) + "\n")
     print(json.dumps({k: v for k, v in out.items() if k.startswith("L")}))
 

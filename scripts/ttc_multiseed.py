@@ -64,8 +64,15 @@ def run_seed(seed: int) -> dict:
                     checkpoint_every=100)
     row = {}
     if not (ckpt / "latest").exists():
+        from doodle_tpu.utils import JsonlWriter
+
         t0 = time.time()
-        best = ttt_train_and_eval(cfg)
+        # The JsonlWriter trace doubles as the seed-replicate of the
+        # r4 ttt_config4_usable run (VERDICT r4 item 7): start→best
+        # extrap/interp MSE per fresh seed.
+        best = ttt_train_and_eval(
+            cfg, writer=JsonlWriter(str(ckpt / "log"), params={"seed": seed})
+        )
         row["train_s"] = round(time.time() - t0, 0)
         row["train_best_extrap_mse_refttc"] = float(best)
         print(f"seed {seed}: trained in {row['train_s']:.0f}s "

@@ -39,7 +39,7 @@ SHAPES = [
     ("xla", "flip", "patch"), ("xla", "flip", "tap"),
     ("xla", "flip", "xla"), ("xla", "flip", "pallas"),
     ("xla", "xla", "xla"), ("xla", "pallas", "xla"),
-    ("xla", "s2d", "xla"),
+    ("xla", "s2d", "xla"), ("xla", "flip", "s2d"), ("s2d", "s2d", "s2d"),
     ("pallas", "flip", "xla"), ("pallas", "pallas", "pallas"),
 ])
 def test_grad_parity_all_backends(B, H, W, cin, cout, fwd, dgrad, wgrad,
