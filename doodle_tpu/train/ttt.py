@@ -316,6 +316,14 @@ class TTTConfig(TrainConfig):
     """TrainConfig + the TTT CLI extras
     (``train_with_env_com_trunc_advantage_ttt.py:787-862``)."""
 
+    # TTT override of TrainConfig.remat_save="convs": the TTT rollout
+    # re-encodes the k-frame raw history at every step (no encode_once —
+    # its history is deliberately not always detached), so saving the
+    # named conv outputs costs k·T× the standard trainer's footprint:
+    # ~22 GB at config-4 TTT geometry (B=16×4, T=6, k=2) — measured OOM
+    # (33.1 G vs 15.75 G HBM, r5) on a program that trains fine under
+    # full remat. The standard trainer keeps "convs".
+    remat_save: str = "none"
     truncate_every: int | None = 4
     fine_steps_per_t: int = 10
     fine_enabled: str = "test"      # none | test | always
