@@ -34,6 +34,14 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
                 type=lambda s: None if s.lower() == "none" else _num_or_str(s),
                 default=default,
             )
+        elif isinstance(default, str) and not optional:
+            # Plain string field: keep values (and the default!) as
+            # strings. The none→None mapping below is only for optional
+            # fields — argparse re-parses STRING defaults through `type`,
+            # so a field whose default is the literal "none" (e.g.
+            # TTTConfig.remat_save) would silently become None here
+            # (caught by an on-chip CLI drive, r5).
+            parser.add_argument(name, type=str, default=default)
         elif default is None or isinstance(default, (str, type(None))):
             parser.add_argument(
                 name,

@@ -37,6 +37,23 @@ def test_bool_flag_false_strings():
     assert args.use_error_mask is False
 
 
+def test_string_field_with_none_default_survives_parsing():
+    """argparse re-parses STRING defaults through `type`; a plain string
+    field whose default is the literal "none" (TTTConfig.remat_save) must
+    NOT silently become None (r5 regression, caught by a TPU CLI drive).
+    Optional fields keep the none→None mapping."""
+    from doodle_tpu.cli.train_ttt import build_parser
+    from doodle_tpu.train import TTTConfig
+
+    args = build_parser().parse_args([])
+    assert args.remat_save == "none"
+    cfg = config_from_args(args, TTTConfig)
+    assert cfg.remat_save == "none"            # string, not None
+    a2 = build_parser().parse_args(
+        ["--remat_save", "convs", "--checkpoint_dir", "none"])
+    assert a2.remat_save == "convs" and a2.checkpoint_dir is None
+
+
 def test_cli_train_tiny_and_metrics_out(tmp_path):
     out = tmp_path / "m.json"
     best = cli_train.main([
