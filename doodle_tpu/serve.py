@@ -37,11 +37,17 @@ class InferenceSession:
     batch_size: int
 
     def __post_init__(self) -> None:
-        # deterministic=True: no dropout at serve time.
+        # deterministic=True: no dropout at serve time. The recurrent
+        # carry is DONATED: the contract of every control call is
+        # state-in → state-out (docstrings below), so the old carry's
+        # device buffer is dead the moment the call returns — donation
+        # lets XLA write the new carry in place instead of allocating a
+        # fresh buffer per step of a long-running control loop.
         self._apply = jax.jit(
             lambda params, img, aux, carry: self.policy.apply(
                 params, img, aux, carry, deterministic=True
-            )
+            ),
+            donate_argnums=(3,),
         )
         # Incremental path: per-frame encoder + sequence head split, so a
         # streaming control loop encodes each new flux image once instead of
@@ -55,8 +61,22 @@ class InferenceSession:
         self._head = jax.jit(
             lambda params, enc, aux, carry: self.policy.apply(
                 params, enc, aux, carry, deterministic=True, method="head"
-            )
+            ),
+            donate_argnums=(3,),
         )
+
+        # Fused streaming step: history roll + insert + head in ONE
+        # dispatch (matters behind a ~30 ms remote-attach RTT), with the
+        # dead enc-history and carry buffers donated.
+        def _stream_step(params, e, enc_hist, aux, carry):
+            enc_hist = jnp.roll(enc_hist, -1, axis=1).at[:, -1].set(e)
+            action, carry = self.policy.apply(
+                params, enc_hist, aux, carry, deterministic=True,
+                method="head",
+            )
+            return action, enc_hist, carry
+
+        self._stream_step = jax.jit(_stream_step, donate_argnums=(2, 4))
 
     # ------------------------------------------------------------------
     @classmethod
@@ -110,7 +130,8 @@ class InferenceSession:
         """One control step: ``([B, k, res, res], [B, aux], carry) →
         (action, carry)`` where the action is ``[B, N, 3]`` unit normals,
         or ``[B, N, 2]`` E/U mrad rotations for a policy built with
-        ``policy_kwargs={"action_space": "angles"}``."""
+        ``policy_kwargs={"action_space": "angles"}``. The passed ``carry``
+        is donated — use the returned carry, never the old one."""
         return self._apply(
             self.params, jnp.asarray(img_history), jnp.asarray(aux), carry
         )
@@ -135,11 +156,12 @@ class InferenceSession:
     def control_stream(self, img, aux, stream_state):
         """One streaming control step: ``([B, res, res], [B, aux], state) →
         (action, state)``. The new frame enters the history (last slot),
-        then the head runs over the carried encodings."""
+        then the head runs over the carried encodings. The passed
+        ``stream_state``'s buffers are donated — use the returned state,
+        never the old one."""
         enc_hist, carry = stream_state
         e = self._encode(self.params, jnp.asarray(img))
-        enc_hist = jnp.roll(enc_hist, -1, axis=1).at[:, -1].set(e)
-        action, carry = self._head(
-            self.params, enc_hist, jnp.asarray(aux), carry
+        action, enc_hist, carry = self._stream_step(
+            self.params, e, enc_hist, jnp.asarray(aux), carry
         )
         return action, (enc_hist, carry)
