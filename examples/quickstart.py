@@ -12,6 +12,13 @@ Usage:  python examples/quickstart.py [--steps 50] [--train]
 
 from __future__ import annotations
 
+import pathlib
+import sys
+
+# Runnable from anywhere: `python examples/quickstart.py` puts examples/ on
+# sys.path, not the repo root where doodle_tpu lives.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 
 import jax

@@ -15,6 +15,13 @@ Runs on CPU or TPU.  Usage:  python examples/visualize_field.py [--out out]
 
 from __future__ import annotations
 
+import pathlib
+import sys
+
+# Runnable from anywhere: `python examples/visualize_field.py` puts examples/ on
+# sys.path, not the repo root where doodle_tpu lives.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import argparse
 import pathlib
 
