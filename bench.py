@@ -217,6 +217,11 @@ def bench_train_rate(num_heliostats, resolution, batch_size, k, T,
                 policy, p, scene, cfg, state, key_t, k=k, T=T,
                 deterministic=False, remat=True, encode_once=True,
                 remat_save=remat_save,
+                # the trainer's auto unroll rule (TrainConfig.scan_unroll):
+                # full on CPU, min(T, 4) on accelerators — measured
+                # 399.3 → 346.3 ms at config 4 (results/unroll_probe.json)
+                unroll=(T if jax.default_backend() == "cpu"
+                        else min(T, 4)),
             )
             parts = res.losses
             terms = jnp.stack([
@@ -249,8 +254,22 @@ def bench_train_rate(num_heliostats, resolution, batch_size, k, T,
 
     # Per-step FLOPs from XLA's own cost model, so BENCH history tracks
     # *efficiency* (achieved TFLOP/s, % of the measured MXU ceiling), not
-    # just wall-clock (VERDICT r3 item 8). Counts executed FLOPs — i.e.
-    # remat recompute is included, like the roofline's component numbers.
+    # just wall-clock (VERDICT r3 item 8).
+    #
+    # ACCOUNTING (r5 correction): XLA's cost model counts each while-loop
+    # BODY ONCE, ignoring the trip count — verified by experiment: the
+    # total is identical for 2 vs 8 reps and for T=2 vs T=4 under a
+    # scanned rollout, and scales with T only when the rollout is
+    # unrolled. Therefore (a) the total is already ≈ ONE train step (the
+    # outer rep loop contributes its body once) and must NOT be divided
+    # by the rep count — r3/r4 BENCH divided by reps_small=2 AND ran the
+    # rollout as a scan (T-body counted once), undercounting per-step
+    # FLOPs ~4× at T=4, which is why those rounds printed ~9% MFU; and
+    # (b) with the shipped unroll=min(T,4) the T loop is fully counted
+    # for T ≤ 4 (bench trains at T=4 — exact). The cost-model total runs
+    # ~20% above the analytic conv-op count (it also prices the splat,
+    # losses and optimizer), so treat the MFU key as the cost-model
+    # figure it is; BASELINE.md carries the analytic cross-check.
     flops_per_step = None
     try:
         keys = jax.random.split(jax.random.PRNGKey(4), reps_small)
@@ -258,7 +277,7 @@ def bench_train_rate(num_heliostats, resolution, batch_size, k, T,
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else None
         if ca and ca.get("flops", 0) > 0:
-            flops_per_step = float(ca["flops"]) / reps_small
+            flops_per_step = float(ca["flops"])
     except Exception:
         pass                        # cost model unavailable on this backend
     return 1.0 / dt, dt, flops_per_step

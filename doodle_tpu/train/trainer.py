@@ -177,8 +177,9 @@ class TrainConfig:
     pipeline_host: bool = True
     # lax.scan unroll for the rollout. None = auto: fully unroll on the CPU
     # backend (XLA:CPU runs while-body ops on a slow serial path — the scan
-    # backward is ~60× slower than the unrolled equivalent), keep the
-    # compact scan on accelerators. Int/True to force.
+    # backward is ~60× slower than the unrolled equivalent); unroll
+    # min(T, 4) on accelerators (cross-step scheduling: 399.3 → 346.3 ms
+    # at config 4, results/unroll_probe.json). Int/True to force.
     scan_unroll: int | None = None
     # Selective rematerialization: which named encoder intermediates the
     # rollout checkpoint KEEPS instead of recomputing in the backward
@@ -530,10 +531,15 @@ def train_and_eval(
         train_states = jax.device_put(train_states, _state_shard)
 
     # Rollout scan unroll: auto = unroll fully on CPU (slow while-body
-    # path, see TrainConfig.scan_unroll), compact scan on accelerators.
+    # path, see TrainConfig.scan_unroll); on accelerators unroll up to 4
+    # steps — cross-step scheduling freedom XLA cannot get inside a scan
+    # body, measured 399.3 → 346.3 ms (1.15×) on the config-4 train step
+    # (results/unroll_probe.json, r5; value-identical by lax.scan
+    # semantics). Capped at 4 to bound program size/compile time at the
+    # reference's larger horizons (T ≤ ~30).
     unroll = cfg.scan_unroll
     if unroll is None:
-        unroll = cfg.T if jax.default_backend() == "cpu" else 1
+        unroll = cfg.T if jax.default_backend() == "cpu" else min(cfg.T, 4)
 
     # ---- the one jitted train step
     def train_step(params, opt_state, states, key, weights):
